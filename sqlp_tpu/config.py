@@ -1,0 +1,105 @@
+"""Solver configuration.
+
+The reference scatters configuration across Julia module constants
+(``CUT_REMOVE_TOLERANCE`` src/sd_algorithm/algorithm.jl:23,
+``INCUMBENT_SELECTION_Q`` src/sd_algorithm/improvement.jl:1,
+``SIGNIFICANT_DIGITS`` src/sd_algorithm/dual_set.jl:4), keyword arguments and
+closure builders (src/sd_algorithm/quad_scalar.jl). Here everything lives in
+one frozen dataclass so it can be closed over by the jitted step and hashed
+as a static argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class PDHGConfig:
+    """Batched first-order LP kernel parameters (subproblem solver)."""
+
+    # Convergence tolerance on the scaled KKT residuals (primal feasibility,
+    # dual feasibility, duality gap), relative.
+    tol: float = 1e-7
+    # Inner steps between restarts-to-average.
+    restart_every: int = 80
+    # Maximum total PDHG iterations per solve.
+    max_iters: int = 20_000
+    # Primal-weight (omega) adaptation smoothing in [0, 1]; 0 disables.
+    omega_smoothing: float = 0.5
+    # Ruiz equilibration sweeps applied to W at instance-compile time.
+    ruiz_iters: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class QPConfig:
+    """Master proximal-QP (OSQP-style ADMM) parameters."""
+
+    tol: float = 1e-8
+    max_iters: int = 4_000
+    check_every: int = 25
+    sigma: float = 1e-6
+    rho: float = 0.1
+    rho_eq_scale: float = 1e3
+    over_relax: float = 1.6
+
+
+@dataclasses.dataclass(frozen=True)
+class SDConfig:
+    """Full SD solver configuration.
+
+    Capacities are static shapes for the jitted step: scenario store, dual
+    vertex pool and cut pools are fixed-size arrays with live counts/masks
+    (the reference grows Julia vectors unboundedly; under XLA we pre-allocate
+    and mask).
+    """
+
+    # --- algorithm constants (reference parity) ---
+    # Cuts whose master dual multiplier is below this are pruned
+    # (src/sd_algorithm/algorithm.jl:23,63).
+    cut_remove_tolerance: float = 1e-3
+    # Incumbent selection factor q (src/sd_algorithm/improvement.jl:1).
+    incumbent_q: float = 0.2
+    # Significant binary digits for dual-vertex dedup
+    # (src/sd_algorithm/dual_set.jl:4).
+    dual_sig_bits: int = 16
+
+    # --- prox weight (quad scalar) schedule ---
+    # "constant" or "adaptive" (src/sd_algorithm/quad_scalar.jl:4-76).
+    quad_schedule: str = "constant"
+    quad_scalar_init: float = 0.1
+    quad_min: float = 1e-3
+    quad_max: float = 1e4
+    quad_r2: float = 0.95
+    quad_r3: float = 2.0
+    quad_tolerance: float = 1e-3
+
+    # --- capacities (static shapes) ---
+    max_scenarios: int = 4096    # per epigraph
+    max_dual_vertices: int = 2048
+    max_cuts: int = 96           # per epigraph, excluding the incumbent cut
+    scenarios_per_iter: int = 1  # B; reference adds exactly 1 per epigraph
+
+    # --- incumbent cut refresh (sd_iteration! kwarg, algorithm.jl:40) ---
+    update_incumbent_cut: bool = True
+
+    # --- numerics ---
+    dtype: str = "float32"
+
+    # --- nested kernel configs ---
+    pdhg: PDHGConfig = dataclasses.field(default_factory=PDHGConfig)
+    qp: QPConfig = dataclasses.field(default_factory=QPConfig)
+
+    # --- distribution ---
+    # Name of the mesh axis scenario batches/stores are sharded over, or None.
+    scenario_axis: Optional[str] = "scenarios"
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    def replace(self, **kw) -> "SDConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,156 @@
+"""Instance: an SMPS two-stage problem compiled to dense device tensors.
+
+The reference re-instantiates a JuMP model per scenario (``instantiate!``,
+src/smps/smps_routines.jl:7-20) and re-extracts matrices per epigraph
+(``extract_coefficients``, src/sd_algorithm/subprob.jl:15-69). Here the
+instance is compiled exactly once, host-side, into dense blocks that live in
+HBM for the whole solve:
+
+    stage 1:  min c@x   s.t. A1 x {sense} b1,  lb1 <= x <= ub1
+    stage 2:  min q@y   s.t. T x + W y {sense} r,  lb2 <= y <= ub2
+    randomness: ScenarioModel (RHS and/or transfer-matrix positions)
+
+Mirrors the reference warning when second-stage variables carry nontrivial
+bounds, since the dual-based cut math assumes bound duals are trivial
+(src/sd_algorithm/subprob.jl:17-27).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import warnings
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sqlp_tpu.models.smps_cor import CorData, read_cor
+from sqlp_tpu.models.smps_sto import StoData, read_sto
+from sqlp_tpu.models.smps_tim import TimData, read_tim
+from sqlp_tpu.models.scenario import ScenarioModel, build_scenario_model
+from sqlp_tpu.models.stage import StageLP, get_smps_stage_template
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class InstanceArrays:
+    """Device-resident dense blocks of the two-stage problem."""
+
+    # stage 1
+    c: jax.Array        # [n1]
+    A1: jax.Array       # [m1, n1]
+    b1: jax.Array       # [m1]
+    senses1: jax.Array  # [m1] int32 (+1 '>=', -1 '<=', 0 '==')
+    lb1: jax.Array      # [n1]
+    ub1: jax.Array      # [n1]
+    # stage 2
+    q: jax.Array        # [n2]
+    W: jax.Array        # [m2, n2]
+    T: jax.Array        # [m2, n1]
+    r: jax.Array        # [m2]
+    senses2: jax.Array  # [m2] int32
+    lb2: jax.Array      # [n2]
+    ub2: jax.Array      # [n2]
+
+
+@dataclasses.dataclass(frozen=True)
+class Instance:
+    """A compiled two-stage SMPS instance (host metadata + device arrays)."""
+
+    name: str
+    cor: CorData
+    tim: TimData
+    sto: StoData
+    sp1: StageLP
+    sp2: StageLP
+    arrays: InstanceArrays
+    scenario_model: ScenarioModel
+
+    @property
+    def n1(self) -> int:
+        return self.sp1.n_cur
+
+    @property
+    def n2(self) -> int:
+        return self.sp2.n_cur
+
+    @property
+    def m1(self) -> int:
+        return self.sp1.n_rows
+
+    @property
+    def m2(self) -> int:
+        return self.sp2.n_rows
+
+    @property
+    def n_rv(self) -> int:
+        return self.scenario_model.n_rv
+
+
+def compile_instance(cor: CorData, tim: TimData, sto: StoData,
+                     name: str = "", dtype=jnp.float32) -> Instance:
+    """Compile parsed SMPS data into dense device tensors."""
+    sp1 = get_smps_stage_template(cor, tim, 1)
+    sp2 = get_smps_stage_template(cor, tim, 2)
+
+    # Reference warns when stage-2 vars have nontrivial bounds
+    # (subprob.jl:17-27): cut math ignores bound duals.
+    for j, vname in enumerate(sp2.cur_names):
+        if np.isfinite(sp2.ub[j]):
+            warnings.warn(f"{vname} has non-trivial upper bound.")
+        if sp2.lb[j] != 0.0:
+            warnings.warn(f"{vname} has non-trivial lower bound.")
+
+    f = lambda a: jnp.asarray(a, dtype=dtype)
+    arrays = InstanceArrays(
+        c=f(sp1.c), A1=f(sp1.W), b1=f(sp1.rhs),
+        senses1=jnp.asarray(sp1.senses), lb1=f(sp1.lb), ub1=f(sp1.ub),
+        q=f(sp2.c), W=f(sp2.W), T=f(sp2.T), r=f(sp2.rhs),
+        senses2=jnp.asarray(sp2.senses), lb2=f(sp2.lb), ub2=f(sp2.ub),
+    )
+    model = build_scenario_model(sto, sp2, dtype=dtype)
+    return Instance(name=name or cor.problem_name, cor=cor, tim=tim, sto=sto,
+                    sp1=sp1, sp2=sp2, arrays=arrays, scenario_model=model)
+
+
+# Search path for SMPS instance directories. The reference repo ships its
+# instances under spInput/ (SURVEY.md C20); we resolve from (in order) the
+# SQLP_TPU_SPINPUT env var, the repo-local instances/ dir (generated
+# fixtures), and the read-only reference mount.
+_DEFAULT_SEARCH = (
+    os.environ.get("SQLP_TPU_SPINPUT", ""),
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "instances"),
+    "/root/reference/spInput",
+)
+
+
+def find_instance_dir(name: str) -> Optional[str]:
+    for root in _DEFAULT_SEARCH:
+        if not root:
+            continue
+        path = os.path.join(root, name)
+        if os.path.isfile(os.path.join(path, f"{name}.cor")):
+            return path
+    return None
+
+
+def load_instance(name_or_dir: str, dtype=jnp.float32) -> Instance:
+    """Load an SMPS instance by name (searched) or by directory path."""
+    if os.path.isdir(name_or_dir):
+        path = name_or_dir
+        name = os.path.basename(os.path.normpath(path))
+    else:
+        name = name_or_dir
+        found = find_instance_dir(name)
+        if found is None:
+            raise FileNotFoundError(
+                f"SMPS instance {name!r} not found under any of "
+                f"{[p for p in _DEFAULT_SEARCH if p]}")
+        path = found
+    cor = read_cor(os.path.join(path, f"{name}.cor"))
+    tim = read_tim(os.path.join(path, f"{name}.tim"))
+    sto = read_sto(os.path.join(path, f"{name}.sto"))
+    return compile_instance(cor, tim, sto, name=name, dtype=dtype)

@@ -1,0 +1,38 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh (multi-chip sharding is validated
+without TPU hardware, per SURVEY.md §4) with x64 enabled so golden-value
+comparisons against the reference's Float64 semantics are exact where the
+reference asserts exactness.
+"""
+
+import os
+
+# Force CPU: the session environment may preset JAX_PLATFORMS to a TPU
+# plugin; tests must run on the virtual 8-device CPU mesh regardless.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from sqlp_tpu.models.instance import find_instance_dir  # noqa: E402
+
+
+def require_instance(name: str) -> str:
+    path = find_instance_dir(name)
+    if path is None:
+        pytest.skip(f"SMPS instance {name} not available")
+    return path
+
+
+@pytest.fixture(scope="session")
+def lands_dir() -> str:
+    return require_instance("lands")
