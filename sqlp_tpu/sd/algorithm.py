@@ -1,0 +1,244 @@
+"""The SD iteration: one jitted, pure step function.
+
+Port of record: ``sd_iteration!`` (src/sd_algorithm/algorithm.jl:39-115),
+the 8-step loop documented at algorithm.jl:3-18:
+
+  1. add new scenarios to each epigraph           -> scenario store append
+  2. solve subproblems at the candidate           -> one batched PDHG call
+  3. ... and at the incumbent; collect duals      ->   (both points at once)
+  4. prune near-zero-dual cuts if master solved   -> live-mask update
+  5. build SASA cut per epigraph at the candidate -> argmax matmul + insert
+  6. refresh incumbent cut at the incumbent       -> replace [E] slots
+  7. incumbent selection                          -> branchless compare
+  8. regularized master solve -> new candidate    -> on-device ADMM QP
+
+Where the reference crosses a process boundary twice per epigraph per
+iteration (JuMP -> CPLEX and back), this step stays on device end to end;
+the only host interaction is the driver reading back scalars for logging.
+"""
+
+from __future__ import annotations
+
+import dataclasses as _dc
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sqlp_tpu.config import SDConfig
+from sqlp_tpu.models.instance import InstanceArrays
+from sqlp_tpu.models.scenario import (ScenarioModel, effective_rhs_deltas,
+                                      sample_deltas)
+from sqlp_tpu.ops.pdhg import PreparedLP, solve_batch
+from sqlp_tpu.ops.prox_qp import solve_qp
+from sqlp_tpu.sd.cuts import build_sasa_cut, evaluate_multi_epigraph
+from sqlp_tpu.sd.dual_pool import push_duals
+from sqlp_tpu.sd.master import assemble_master, cut_dual_slice
+from sqlp_tpu.sd.state import EpigraphSpec, SDState
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _scenario_rhs(arrays: InstanceArrays, model: ScenarioModel,
+                  deltas: jax.Array, x: jax.Array) -> jax.Array:
+    """h = r - T x + scatter(effective deltas): the subproblem RHS panel.
+
+    deltas: [P, R] raw scenario deltas -> returns [P, m2].
+    """
+    eff = effective_rhs_deltas(model, deltas, x)
+    m2 = arrays.r.shape[0]
+    dense = jnp.zeros(deltas.shape[:-1] + (m2,), deltas.dtype)
+    dense = dense.at[..., model.rv_row].add(eff)
+    base = arrays.r - jnp.matmul(arrays.T, x, precision=_PREC)
+    return base + dense
+
+
+def _quad_scalar_schedule(state: SDState, config: SDConfig):
+    """Branchless prox-weight schedules (src/sd_algorithm/quad_scalar.jl).
+
+    Returns (rho_for_this_master_solve, new_quad_scalar, new_normDk_1,
+    new_normDk_init). Called AFTER incumbent selection and BEFORE the
+    incumbent is replaced, like the reference (algorithm.jl:92-94).
+    """
+    if config.quad_schedule == "constant":
+        rho = jnp.asarray(config.quad_scalar_init, state.quad_scalar.dtype)
+        return rho, state.quad_scalar, state.normDk_1, state.normDk_init
+
+    assert config.quad_schedule == "adaptive", config.quad_schedule
+    diff = state.x_incumbent - state.x_candidate
+    normDk = jnp.sum(diff * diff)
+    tol = config.quad_tolerance
+    # Uninitialized register + no movement: early-return the old value
+    # without touching normDk_1 (quad_scalar.jl:30-44).
+    early = jnp.logical_and(~state.normDk_init, normDk <= tol)
+    normDk_1_eff = jnp.where(state.normDk_init, state.normDk_1, normDk)
+    qs = state.quad_scalar
+    shrink = jnp.logical_and(
+        state.is_improved,
+        jnp.logical_and(normDk > tol, normDk >= config.quad_r3 * normDk_1_eff))
+    qs = jnp.where(
+        shrink,
+        qs * (config.quad_r2 * config.quad_r3 * normDk_1_eff
+              / jnp.maximum(normDk, 1e-30)),
+        qs)
+    qs = jnp.where(~state.is_improved, qs / config.quad_r2, qs)
+    qs = jnp.clip(qs, config.quad_min, config.quad_max)
+    new_qs = jnp.where(early, state.quad_scalar, qs)
+    new_normDk_1 = jnp.where(early, state.normDk_1, normDk)
+    new_init = jnp.logical_or(state.normDk_init, normDk > tol)
+    return new_qs, new_qs, new_normDk_1, new_init
+
+
+@partial(jax.jit, static_argnames=("config",))
+def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
+            prep_sub: PreparedLP, state: SDState, config: SDConfig
+            ) -> Tuple[SDState, dict]:
+    """One SD iteration. Pure: (state, key) -> (state', stats)."""
+    E = espec.n_epi
+    B = config.scenarios_per_iter
+    S = config.max_scenarios
+    K = config.max_cuts
+    n1 = arrays.c.shape[0]
+    m1 = arrays.b1.shape[0]
+    m2 = arrays.r.shape[0]
+    dt = arrays.c.dtype
+
+    key, k_sample = jax.random.split(state.key)
+
+    # ---- 1. sample + append scenarios (add_scenario!, epigraph.jl:81-96)
+    new_deltas = sample_deltas(k_sample, model, E * B).reshape(E, B, model.n_rv)
+
+    def append_one(store, weights, n, new):
+        idx = jnp.minimum(n, S - B)
+        store = jax.lax.dynamic_update_slice_in_dim(store, new, idx, 0)
+        weights = jax.lax.dynamic_update_slice_in_dim(
+            weights, jnp.ones((B,), dt), idx, 0)
+        return store, weights, jnp.minimum(n + B, S)
+
+    scen_deltas, scen_weights, n_scen = jax.vmap(append_one)(
+        state.scen_deltas, state.scen_weights, state.n_scen, new_deltas)
+    overflow = jnp.sum(jnp.maximum(state.n_scen + B - S, 0))
+    total_weight = state.total_weight + B  # unit weights (algorithm.jl:46)
+
+    # ---- 2+3. batched subproblem solves at candidate AND incumbent
+    flat_deltas = new_deltas.reshape(E * B, model.n_rv)
+    h_cand = _scenario_rhs(arrays, model, flat_deltas, state.x_candidate)
+    h_inc = _scenario_rhs(arrays, model, flat_deltas, state.x_incumbent)
+    # Order [E, (cand, inc), B] so pool pushes match the reference's
+    # per-epigraph cand-then-inc sequence (algorithm.jl:49-54).
+    H = jnp.stack([h_cand.reshape(E, B, m2), h_inc.reshape(E, B, m2)],
+                  axis=1).reshape(2 * E * B, m2)
+    sub_obj, _, Pi, sub_stats = solve_batch(prep_sub, H, config.pdhg)
+
+    duals, duals_rounded, n_duals, duals_dropped = push_duals(
+        state.duals, state.duals_rounded, state.n_duals, Pi,
+        state.duals_dropped, config.dual_sig_bits)
+
+    # ---- 4. prune near-zero-dual cuts (algorithm.jl:57-69)
+    prune = jnp.logical_and(
+        state.master_solved,
+        jnp.abs(state.cut_dual) < config.cut_remove_tolerance)
+    cut_live = jnp.logical_and(state.cut_live, ~prune)
+
+    # state with scenarios appended + cuts pruned, before new cuts: this is
+    # the f_{k-1} snapshot (algorithm.jl:74-76).
+    state_last = _dc.replace(
+        state, scen_deltas=scen_deltas, scen_weights=scen_weights,
+        n_scen=n_scen, total_weight=total_weight, cut_live=cut_live,
+        duals=duals, duals_rounded=duals_rounded, n_duals=n_duals)
+    last_cand_eval = evaluate_multi_epigraph(state_last, espec,
+                                             state.x_candidate)
+    last_inc_eval = evaluate_multi_epigraph(state_last, espec,
+                                            state.x_incumbent)
+
+    # ---- 5. SASA cuts at the candidate, one per epigraph (epigraph.jl:125)
+    def build_at(x):
+        return jax.vmap(
+            lambda sd, sw, tw: build_sasa_cut(
+                arrays, model, duals, n_duals, sd, sw, tw, x)
+        )(scen_deltas, scen_weights, total_weight)
+
+    cand_cut = build_at(state.x_candidate)
+
+    # insert: first dead slot, else evict the smallest-|dual| live cut
+    slot_score = jnp.where(cut_live, jnp.abs(state.cut_dual), -jnp.inf)
+    slots = jnp.argmin(slot_score, axis=1)                  # [E]
+    e_idx = jnp.arange(E)
+    cut_alpha = state.cut_alpha.at[e_idx, slots].set(cand_cut.alpha)
+    cut_beta = state.cut_beta.at[e_idx, slots].set(cand_cut.beta)
+    cut_mark = state.cut_mark.at[e_idx, slots].set(total_weight)
+    cut_dual = state.cut_dual.at[e_idx, slots].set(jnp.inf)
+    cut_live = cut_live.at[e_idx, slots].set(True)
+
+    # ---- 6. refresh incumbent cut (epigraph.jl:83; algorithm.jl:82-84)
+    if config.update_incumbent_cut:
+        inc_cut = build_at(state.x_incumbent)
+        inc_alpha, inc_beta = inc_cut.alpha, inc_cut.beta
+        inc_valid = jnp.ones((E,), bool)
+    else:
+        inc_alpha, inc_beta = state.inc_alpha, state.inc_beta
+        inc_valid = state.inc_valid
+
+    state_now = _dc.replace(
+        state_last, cut_alpha=cut_alpha, cut_beta=cut_beta,
+        cut_mark=cut_mark, cut_dual=cut_dual, cut_live=cut_live,
+        inc_alpha=inc_alpha, inc_beta=inc_beta, inc_valid=inc_valid)
+
+    # ---- 7. incumbent selection (check_improvement, improvement.jl:19-49)
+    f_cand = jnp.matmul(arrays.c, state.x_candidate, precision=_PREC)
+    f_inc = jnp.matmul(arrays.c, state.x_incumbent, precision=_PREC)
+    cand_est = evaluate_multi_epigraph(state_now, espec, state.x_candidate) + f_cand
+    inc_est = evaluate_multi_epigraph(state_now, espec, state.x_incumbent) + f_inc
+    last_cand_est = last_cand_eval + f_cand
+    last_inc_est = last_inc_eval + f_inc
+    req = config.incumbent_q * (last_cand_est - last_inc_est)
+    is_improved = cand_est < inc_est + req
+
+    state_now = _dc.replace(state_now, is_improved=is_improved,
+                            cand_est=cand_est, inc_est=inc_est,
+                            req_improvement=req)
+
+    # ---- schedule BEFORE incumbent replacement (algorithm.jl:92-94)
+    rho, quad_scalar, normDk_1, normDk_init = _quad_scalar_schedule(
+        state_now, config)
+
+    x_incumbent = jnp.where(is_improved, state.x_candidate, state.x_incumbent)
+    state_now = _dc.replace(state_now, x_incumbent=x_incumbent,
+                            quad_scalar=quad_scalar, normDk_1=normDk_1,
+                            normDk_init=normDk_init)
+
+    # ---- 8. regularized master solve (algorithm.jl:101-112)
+    p_diag, g, A, l, u, is_eq = assemble_master(arrays, espec, state_now, rho)
+    z, mu, qp_stats = solve_qp(p_diag, g, A, l, u, is_eq, config.qp,
+                               z0=state.master_z, mu0=state.master_mu)
+    x_candidate = z[:n1]
+    cut_dual = cut_dual_slice(mu, m1, n1, E, K)
+
+    new_state = _dc.replace(
+        state_now,
+        key=key,
+        it=state.it + 1,
+        x_candidate=x_candidate,
+        cut_dual=cut_dual,
+        master_solved=qp_stats["qp_converged"],
+        master_z=z,
+        master_mu=mu,
+        scen_dropped=state.scen_dropped + overflow,
+        duals_dropped=duals_dropped,
+    )
+
+    stats = {
+        "it": new_state.it,
+        "cand_est": cand_est,
+        "inc_est": inc_est,
+        "is_improved": is_improved,
+        "rho": rho,
+        "n_duals": n_duals,
+        "n_cuts_live": jnp.sum(cut_live),
+        "sub_obj_mean": jnp.mean(sub_obj),
+        "x_candidate": x_candidate,
+        **sub_stats,
+        **qp_stats,
+    }
+    return new_state, stats

@@ -1,0 +1,130 @@
+"""Cut machinery: argmax procedure, SASA cut assembly, epigraph evaluation.
+
+Port of record:
+  * ``argmax_procedure`` (src/sd_algorithm/subprob.jl:141-169) — the
+    reference's O(S·D·m2) double loop becomes one [D,R]x[R,S] matmul plus a
+    masked argmax over the dual axis (the MXU hot loop of the solver);
+  * ``build_sasa_cut`` (src/sd_algorithm/epigraph.jl:125-146) — alpha/beta
+    assembly from the per-scenario argmax duals, probability-weighted;
+  * ``evaluate_epigraph`` / ``evaluate_multi_epigraph``
+    (src/sd_algorithm/epigraph.jl:177-228) — pointwise max over discounted
+    cuts, the undiscounted incumbent cut, and the lower bound.
+
+MIN_SENSE only: the reference's MAX branch is dead/buggy (SURVEY.md quirk 2;
+subprob.jl:152-161 can never replace -Inf) and its cell constructor rejects
+non-MIN problems (cell.jl:45-49).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sqlp_tpu.models.instance import InstanceArrays
+from sqlp_tpu.models.scenario import ScenarioModel, effective_rhs_deltas
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b):
+    return jnp.matmul(a, b, precision=_PREC)
+
+
+class Cut(NamedTuple):
+    """eta >= alpha + beta @ x, stored unscaled (epigraph.jl:5-12)."""
+
+    alpha: jax.Array  # scalar or [E]
+    beta: jax.Array   # [n1] or [E, n1]
+
+
+def argmax_duals(duals: jax.Array, n_duals: jax.Array,
+                 base: jax.Array, rv_row: jax.Array,
+                 eff_deltas: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-scenario argmax over the dual pool.
+
+    scores[d, s] = pi_d @ (base + scatter(eff_deltas[s])) computed as a base
+    matvec plus a [D,R]x[R,S] matmul over the random positions only — the
+    delta panel never materializes dense [S, m2] (the reference's per-
+    scenario sparse delta dot, subprob.jl:128-131, vectorized).
+
+    Args:
+      duals: [D, m2] pool; n_duals: live count.
+      base: [m2] = r - T x.
+      rv_row: [R] row index of each random position.
+      eff_deltas: [S, R] effective RHS deltas at this x.
+
+    Returns: (max_val [S], argmax index [S]).
+    """
+    D = duals.shape[0]
+    base_scores = _dot(duals, base)                        # [D]
+    delta_scores = _dot(duals[:, rv_row], eff_deltas.T)    # [D, S]
+    scores = base_scores[:, None] + delta_scores
+    live = (jnp.arange(D) < n_duals)[:, None]
+    scores = jnp.where(live, scores, -jnp.inf)
+    best = jnp.argmax(scores, axis=0)                      # [S]
+    return jnp.max(scores, axis=0), best
+
+
+def build_sasa_cut(arrays: InstanceArrays, model: ScenarioModel,
+                   duals: jax.Array, n_duals: jax.Array,
+                   scen_deltas: jax.Array, scen_weights: jax.Array,
+                   total_weight: jax.Array, x: jax.Array) -> Cut:
+    """Build one SASA cut for one epigraph at x (epigraph.jl:125-146).
+
+    alpha = sum_s p_s pi_s @ (r + dr_s)
+    beta  = -sum_s p_s (T + dT_s)' pi_s
+    with p_s = weight_s / total_weight and pi_s the pool argmax for s.
+
+    Dead scenario slots carry weight 0 and contribute nothing.
+    """
+    eff = effective_rhs_deltas(model, scen_deltas, x)       # [S, R]
+    base = arrays.r - _dot(arrays.T, x)                     # [m2]
+    _, best = argmax_duals(duals, n_duals, base, model.rv_row, eff)
+    Pi = duals[best]                                        # [S, m2]
+
+    p = scen_weights / jnp.maximum(total_weight, 1e-30)     # [S]
+
+    # alpha: pi @ r plus RHS-delta corrections at the random rows.
+    rhs_delta = jnp.where(model.rv_is_rhs[None, :], scen_deltas, 0.0)  # [S, R]
+    pi_at_rows = Pi[:, model.rv_row]                        # [S, R]
+    alpha = jnp.sum(p * (_dot(Pi, arrays.r)
+                         + jnp.sum(rhs_delta * pi_at_rows, axis=1)))
+
+    # beta: -T' (sum_s p_s pi_s) plus transfer-delta corrections.
+    pi_bar = _dot(p, Pi)                                    # [m2]
+    beta = -_dot(arrays.T.T, pi_bar)                        # [n1]
+    tr_contrib = jnp.where(model.rv_is_rhs[None, :], 0.0,
+                           p[:, None] * scen_deltas * pi_at_rows)  # [S, R]
+    beta = beta.at[model.rv_col].add(-jnp.sum(tr_contrib, axis=0))
+    return Cut(alpha=alpha, beta=beta)
+
+
+def evaluate_epigraph(cut_alpha: jax.Array, cut_beta: jax.Array,
+                      cut_mark: jax.Array, cut_live: jax.Array,
+                      inc_alpha: jax.Array, inc_beta: jax.Array,
+                      inc_valid: jax.Array, total_weight: jax.Array,
+                      lower_bound: jax.Array, x: jax.Array) -> jax.Array:
+    """Pointwise max over discounted cuts / incumbent cut / lb for ONE
+    epigraph, unweighted (epigraph.jl:177-205).
+
+    Cut value: d*(alpha + beta@x) + (1-d)*lb with d = weight_mark/total;
+    incumbent cut evaluated undiscounted (epigraph.jl:193-195).
+    """
+    d = cut_mark / jnp.maximum(total_weight, 1e-30)         # [K]
+    vals = d * (cut_alpha + _dot(cut_beta, x)) + (1.0 - d) * lower_bound
+    vals = jnp.where(cut_live, vals, -jnp.inf)
+    best = jnp.maximum(lower_bound, jnp.max(vals, initial=-jnp.inf))
+    inc_val = inc_alpha + _dot(inc_beta, x)
+    return jnp.maximum(best, jnp.where(inc_valid, inc_val, -jnp.inf))
+
+
+def evaluate_multi_epigraph(state, espec, x: jax.Array) -> jax.Array:
+    """Objective-weighted sum over epigraphs (epigraph.jl:210-228)."""
+    per_epi = jax.vmap(evaluate_epigraph)(
+        state.cut_alpha, state.cut_beta, state.cut_mark, state.cut_live,
+        state.inc_alpha, state.inc_beta, state.inc_valid,
+        state.total_weight, espec.lower_bound,
+        jnp.broadcast_to(x, (state.cut_alpha.shape[0],) + x.shape))
+    return jnp.sum(espec.obj_weight * per_epi)

@@ -8,9 +8,12 @@ reference asserts exactness.
 
 import os
 
-# Force CPU: the session environment may preset JAX_PLATFORMS to a TPU
-# plugin; tests must run on the virtual 8-device CPU mesh regardless.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Force CPU: the session environment presets a TPU plugin (axon) that is
+# registered by a sitecustomize at interpreter startup — BEFORE this
+# conftest runs — so setting the JAX_PLATFORMS env var here is too late and
+# silently ignored. Only jax.config.update takes effect. XLA_FLAGS for the
+# virtual 8-device CPU mesh must still be set before the cpu backend is
+# first initialized (which happens lazily, so this ordering works).
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +21,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,122 @@
+"""Master prox-QP ADMM solver vs scipy oracles."""
+
+import numpy as np
+import pytest
+import scipy.optimize
+import jax.numpy as jnp
+
+from sqlp_tpu.config import QPConfig
+from sqlp_tpu.ops.prox_qp import solve_qp
+
+
+def _solve_ref_qp(p, g, A, l, u):
+    """Reference solve via scipy trust-constr."""
+    nz = len(g)
+    fun = lambda z: 0.5 * z @ (p * z) + g @ z
+    jac = lambda z: p * z + g
+    hess = lambda z: np.diag(p)
+    con = scipy.optimize.LinearConstraint(A, l, u)
+    res = scipy.optimize.minimize(
+        fun, np.zeros(nz), jac=jac, hess=hess, method="trust-constr",
+        constraints=[con], options={"gtol": 1e-12, "xtol": 1e-14})
+    return res.x, res.fun
+
+
+def test_qp_projection():
+    """min 1/2||z - z0||^2 over a box: solution is the clipped z0."""
+    nz = 6
+    z0 = np.array([-3.0, -1.0, 0.5, 2.0, 5.0, 0.0])
+    p = np.ones(nz)
+    g = -z0
+    A = np.eye(nz)
+    l = -np.ones(nz)
+    u = np.ones(nz)
+    z, mu, st = solve_qp(jnp.asarray(p), jnp.asarray(g), jnp.asarray(A),
+                         jnp.asarray(l), jnp.asarray(u),
+                         jnp.zeros(nz, bool), QPConfig())
+    assert bool(st["qp_converged"])
+    np.testing.assert_allclose(np.asarray(z), np.clip(z0, -1, 1), atol=1e-6)
+
+
+def test_qp_master_shape():
+    """A master-like QP: x in R^3, one epigraph eta with 3 cuts.
+
+    min c@x + 1*eta + rho/2||x - x0||^2
+    s.t. sum(x) >= 1, 0 <= x <= 2, eta >= a_k + b_k@x.
+    Checked against scipy trust-constr; also eta* equals the max cut and the
+    active cut's multiplier is the only nonzero one (the prune signal the
+    reference reads, src/sd_algorithm/algorithm.jl:58-69).
+    """
+    rho = 0.5
+    c = np.array([1.0, 0.5, 0.2])
+    x0 = np.array([0.3, 0.3, 0.3])
+    alphas = np.array([0.0, 1.0, -2.0])
+    betas = np.array([[1.0, 0.0, 0.0],
+                      [-1.0, -1.0, -1.0],
+                      [2.0, 2.0, 0.0]])
+    nz = 4
+    p = np.array([rho, rho, rho, 0.0])
+    g = np.concatenate([c - rho * x0, [1.0]])
+    rows = []
+    l, u = [], []
+    rows.append([1.0, 1.0, 1.0, 0.0]); l.append(1.0); u.append(np.inf)
+    for j in range(3):
+        e = np.zeros(nz); e[j] = 1.0
+        rows.append(e); l.append(0.0); u.append(2.0)
+    for k in range(3):
+        rows.append(np.concatenate([-betas[k], [1.0]]))
+        l.append(alphas[k]); u.append(np.inf)
+    A = np.array(rows)
+    l, u = np.array(l), np.array(u)
+
+    z, mu, st = solve_qp(jnp.asarray(p), jnp.asarray(g), jnp.asarray(A),
+                         jnp.asarray(l), jnp.asarray(u),
+                         jnp.zeros(len(l), bool),
+                         QPConfig(tol=1e-10, max_iters=20_000))
+    assert bool(st["qp_converged"])
+    z = np.asarray(z)
+    z_ref, f_ref = _solve_ref_qp(p, g, A, l, u)
+    np.testing.assert_allclose(z, z_ref, atol=1e-5)
+    # eta* equals the active cut value
+    cut_vals = alphas + betas @ z[:3]
+    assert z[3] == pytest.approx(np.max(cut_vals), abs=1e-6)
+    # strictly-slack cuts have ~zero multipliers (prune signal); ties at the
+    # max may legitimately split the eta weight between multipliers
+    mu = np.asarray(mu)[4:]
+    slack = np.max(cut_vals) - cut_vals
+    for k in range(3):
+        if slack[k] > 1e-4:
+            assert abs(mu[k]) < 1e-6
+    # dual feasibility on eta: active multipliers sum to the eta weight
+    assert -np.sum(mu) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_qp_dead_rows_zero_dual():
+    """Zero rows with (-inf, inf) bounds (dead cut slots) get mu == 0."""
+    nz = 2
+    p = np.ones(nz)
+    g = np.array([-1.0, -2.0])
+    A = np.array([[1.0, 1.0], [0.0, 0.0], [0.0, 0.0]])
+    l = np.array([-np.inf, -np.inf, -np.inf])
+    u = np.array([1.0, np.inf, np.inf])
+    z, mu, st = solve_qp(jnp.asarray(p), jnp.asarray(g), jnp.asarray(A),
+                         jnp.asarray(l), jnp.asarray(u),
+                         jnp.zeros(3, bool), QPConfig())
+    assert bool(st["qp_converged"])
+    np.testing.assert_allclose(np.asarray(mu)[1:], 0.0, atol=1e-8)
+    # analytic: unconstrained opt (1,2) projected onto z1+z2 <= 1 -> (0,1)
+    np.testing.assert_allclose(np.asarray(z), [0.0, 1.0], atol=1e-6)
+
+
+def test_qp_equality_rows():
+    """Equality rows (l == u, is_eq mask) are honored."""
+    nz = 3
+    p = np.ones(nz)
+    g = np.zeros(nz)
+    A = np.array([[1.0, 1.0, 1.0]])
+    l = np.array([3.0]); u = np.array([3.0])
+    z, mu, st = solve_qp(jnp.asarray(p), jnp.asarray(g), jnp.asarray(A),
+                         jnp.asarray(l), jnp.asarray(u),
+                         jnp.ones(1, bool), QPConfig())
+    assert bool(st["qp_converged"])
+    np.testing.assert_allclose(np.asarray(z), np.ones(3), atol=1e-6)

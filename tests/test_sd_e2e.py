@@ -1,0 +1,77 @@
+"""End-to-end SD solve on lands: objective parity with the reference.
+
+The reference only eyeballs instance convergence (its instance drivers print
+lb/ub without asserting, test/instance_test/*.jl); we assert against the
+known lands optimum 381.8533 (test/crash_test.jl:37 — exact here because
+lands' single random demand takes exactly the 3 modelled values)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from sqlp_tpu.config import PDHGConfig, QPConfig, SDConfig
+from sqlp_tpu.models.instance import load_instance
+from sqlp_tpu.sd.driver import SDSolver
+
+from conftest import require_instance
+
+LANDS_OPT = 381.8533333
+
+_CFG = SDConfig(
+    dtype="float64",
+    max_scenarios=512, max_dual_vertices=256, max_cuts=32,
+    quad_schedule="constant", quad_scalar_init=0.1,
+    pdhg=PDHGConfig(tol=1e-8, max_iters=20_000),
+    qp=QPConfig(tol=1e-9, max_iters=8_000),
+)
+
+
+@pytest.fixture(scope="module")
+def lands_solver():
+    require_instance("lands")
+    inst = load_instance("lands", dtype=jnp.float64)
+    solver = SDSolver(inst, _CFG, x0=np.array([3.0, 3.0, 3.0, 3.0]), seed=7)
+    solver.run(300)
+    return solver
+
+
+def test_lands_bounds_sandwich(lands_solver):
+    """lb estimate and MC upper bound must bracket the true optimum."""
+    lb = lands_solver.lower_estimate
+    ub = lands_solver.evaluate(n_samples=4000)
+    assert lb < LANDS_OPT + 0.5, f"lb {lb} above optimum"
+    assert ub > LANDS_OPT - 0.5, f"ub {ub} below optimum"
+    assert abs(lb - LANDS_OPT) < 6.0
+    assert abs(ub - LANDS_OPT) < 6.0
+
+
+def test_lands_incumbent_near_optimal(lands_solver):
+    """The incumbent's true objective (exact 3-scenario expectation) is near
+    the optimum."""
+    inst = lands_solver.inst
+    x = lands_solver.x_incumbent
+    from sqlp_tpu.models.routines import solve_problem
+    from sqlp_tpu.models.smps_tim import Position
+    vals, probs = [3.0, 5.0, 7.0], [0.3, 0.4, 0.3]
+    exp_cost = float(np.asarray(inst.arrays.c) @ x)
+    for v, p in zip(vals, probs):
+        obj, _, _ = solve_problem(inst.sp2, x, [(Position("RHS", "S2C5"), v)])
+        exp_cost += p * obj
+    assert exp_cost == pytest.approx(LANDS_OPT, abs=3.0)
+
+
+def test_determinism_same_seed():
+    """Same seed => bitwise-identical trajectory (SURVEY.md §5.2: pure
+    functional step dissolves the reference's planned-mutex concerns)."""
+    require_instance("lands")
+    inst = load_instance("lands", dtype=jnp.float64)
+    runs = []
+    for _ in range(2):
+        s = SDSolver(inst, _CFG, x0=np.array([3.0, 3.0, 3.0, 3.0]), seed=11)
+        s.run(25)
+        runs.append((s.x_candidate.copy(), s.x_incumbent.copy(),
+                     int(s.state.n_duals)))
+    np.testing.assert_array_equal(runs[0][0], runs[1][0])
+    np.testing.assert_array_equal(runs[0][1], runs[1][1])
+    assert runs[0][2] == runs[1][2]
