@@ -208,9 +208,13 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig()
     n_rounds = max(1, config.max_iters // config.restart_every)
 
     def pd_round(Y, L, ht, omega):
-        """restart_every PDHG steps + running (uniform) average."""
-        tau = eta / omega
-        sig = eta * omega
+        """restart_every PDHG steps + running (uniform) average.
+
+        omega is per batch element [B]: each scenario LP carries its own
+        primal weight (tau = eta/omega, sigma = eta*omega elementwise).
+        """
+        tau = (eta / omega)[:, None]
+        sig = (eta * omega)[:, None]
 
         def body(_, carry):
             Y, L, Ys, Ls, cnt = carry
@@ -225,49 +229,69 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig()
         return Y, L, Ys / cnt, Ls / cnt
 
     def cond(carry):
-        _, _, _, _, _, _, it, done = carry
+        it, done = carry[-2], carry[-1]
         return jnp.logical_and(it < n_rounds, ~jnp.all(done))
 
     def round_step(carry):
-        Y, L, Yb, Lb, omega, err_best, it, done = carry
+        (Y, L, Yr, Lr, Yb, Lb, omega, err_r, err_last, err_best,
+         it, done) = carry
         Y1, L1, Ya, La = pd_round(Y, L, ht, omega)
 
         err_cur, _ = _kkt_residuals(lp, ht, Y1, L1)
         err_avg, _ = _kkt_residuals(lp, ht, Ya, La)
         use_avg = err_avg < err_cur                      # [B]
-        Yr = jnp.where(use_avg[:, None], Ya, Y1)
-        Lr = jnp.where(use_avg[:, None], La, L1)
+        Yc = jnp.where(use_avg[:, None], Ya, Y1)
+        Lc = jnp.where(use_avg[:, None], La, L1)
         err = jnp.minimum(err_avg, err_cur)
 
         # Latch the best iterate seen so far per batch element.
         better = err < err_best
-        Yb = jnp.where(better[:, None], Yr, Yb)
-        Lb = jnp.where(better[:, None], Lr, Lb)
+        Yb = jnp.where(better[:, None], Yc, Yb)
+        Lb = jnp.where(better[:, None], Lc, Lb)
         err_best = jnp.minimum(err, err_best)
         done = err_best <= config.tol
 
-        # Primal-weight update (PDLP): balance primal/dual movement.
-        dY = jnp.linalg.norm(Yr - Y, axis=-1).mean()
-        dL = jnp.linalg.norm(Lr - L, axis=-1).mean()
-        theta = config.omega_smoothing
-        new_omega = jnp.where(
-            jnp.logical_and(dY > 1e-12, dL > 1e-12),
-            jnp.exp(theta * jnp.log(dL / dY) + (1.0 - theta) * jnp.log(omega)),
-            omega)
-        new_omega = jnp.clip(new_omega, 1e-4, 1e4)
+        # PDLP-style adaptive restart, PER BATCH ELEMENT: restart when the
+        # candidate's KKT error improved sufficiently vs the last restart
+        # (0.2x), or improved somewhat (0.8x) but began increasing again.
+        # A fixed unconditional restart kills the asymptotic tail on
+        # degenerate instances (observed: ssn stalls at ~4e-4 forever).
+        restart = jnp.logical_or(
+            err <= 0.2 * err_r,
+            jnp.logical_and(err <= 0.8 * err_r, err > err_last))
 
-        # Restart from the best-of(current, average) point.
-        return Yr, Lr, Yb, Lb, new_omega, err_best, it + 1, done
+        # Primal-weight update at restarts (PDLP), elementwise.
+        dY = jnp.linalg.norm(Yc - Yr, axis=-1)
+        dL = jnp.linalg.norm(Lc - Lr, axis=-1)
+        theta = config.omega_smoothing
+        omega_new = jnp.where(
+            jnp.logical_and(dY > 1e-12, dL > 1e-12),
+            jnp.exp(theta * jnp.log(dL / jnp.maximum(dY, 1e-30))
+                    + (1.0 - theta) * jnp.log(omega)),
+            omega)
+        omega_new = jnp.clip(omega_new, 1e-4, 1e4)
+
+        r = restart[:, None]
+        Y2 = jnp.where(r, Yc, Y1)
+        L2 = jnp.where(r, Lc, L1)
+        Yr2 = jnp.where(r, Yc, Yr)
+        Lr2 = jnp.where(r, Lc, Lr)
+        omega2 = jnp.where(restart, omega_new, omega)
+        err_r2 = jnp.where(restart, err, err_r)
+
+        return (Y2, L2, Yr2, Lr2, Yb, Lb, omega2, err_r2, err, err_best,
+                it + 1, done)
 
     Y0 = jnp.clip(jnp.zeros((B, n), dtype), lb, ub)
     L0 = jnp.zeros((B, m), dtype)
-    omega0 = jnp.ones((), dtype)
+    omega0 = jnp.ones((B,), dtype)
     err0 = jnp.full((B,), jnp.inf, dtype)
     done0 = jnp.zeros((B,), bool)
 
-    carry = (Y0, L0, Y0, L0, omega0, err0, jnp.zeros((), jnp.int32), done0)
-    Y, L, Yb, Lb, omega, err, rounds, done = jax.lax.while_loop(
-        cond, round_step, carry)
+    carry = (Y0, L0, Y0, L0, Y0, L0, omega0, err0, err0, err0,
+             jnp.zeros((), jnp.int32), done0)
+    (Y, L, Yr, Lr, Yb, Lb, omega, err_r, err_last, err, rounds,
+     done) = jax.lax.while_loop(cond, round_step, carry)
 
     # Unscale back to the original problem.
     Y_out = Yb * lp.col_scale[None, :]
@@ -279,6 +303,6 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig()
         "pdhg_iters": rounds * config.restart_every,
         "pdhg_err_max": jnp.max(err),
         "pdhg_converged": jnp.all(done),
-        "pdhg_omega": omega,
+        "pdhg_omega": jnp.mean(omega),
     }
     return obj, Y_out, Pi_out, stats

@@ -1,0 +1,77 @@
+"""Device mesh construction and sharding specs for the SD solver.
+
+The reference is single-threaded CPU; its parallel design exists only as
+comments ("Do 2, 3 (in parallel) for each epigraph ... Need mutex on DV
+set", src/sd_algorithm/algorithm.jl:7-11). Here the implied parallel axes
+become sharded tensor axes over a 1-D ``jax.sharding.Mesh``:
+
+  * scenario stores ``scen_deltas``/``scen_weights`` shard over S — the
+    argmax matmul [D,R]x[R,S] then computes per-shard scores locally and
+    the SASA alpha/beta probability-weighted sums reduce across shards
+    (XLA inserts the psum);
+  * Monte-Carlo evaluation and large subproblem batches shard over B;
+  * the dual pool, cut pools, master state, and x vectors stay replicated
+    (small, and the dedup scan is inherently sequential).
+
+Multi-host: initialize jax.distributed outside, build the mesh over all
+devices; the same specs apply.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+SCENARIO_AXIS = "scenarios"
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_name: str = SCENARIO_AXIS) -> Mesh:
+    """1-D mesh over the first n_devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def state_pspecs(axis_name: str = SCENARIO_AXIS):
+    """PartitionSpec pytree for SDState (field-name keyed)."""
+    s = P(None, axis_name)          # [E, S]
+    s3 = P(None, axis_name, None)   # [E, S, R]
+    r = P()                         # replicated
+    return dict(
+        key=r, it=r,
+        scen_deltas=s3, scen_weights=s, n_scen=r, total_weight=r,
+        scen_dropped=r,
+        duals=r, duals_rounded=r, n_duals=r, duals_dropped=r,
+        cut_alpha=r, cut_beta=r, cut_mark=r, cut_live=r, cut_dual=r,
+        inc_alpha=r, inc_beta=r, inc_valid=r,
+        x_candidate=r, x_incumbent=r,
+        cand_est=r, inc_est=r, req_improvement=r, is_improved=r,
+        quad_scalar=r, normDk_1=r, normDk_init=r,
+        master_solved=r, master_z=r, master_mu=r,
+    )
+
+
+def state_shardings(mesh: Mesh, axis_name: str = SCENARIO_AXIS):
+    """NamedSharding pytree matching SDState's dataclass fields."""
+    specs = state_pspecs(axis_name)
+    return {k: NamedSharding(mesh, v) for k, v in specs.items()}
+
+
+def shard_state(state, mesh: Mesh, axis_name: str = SCENARIO_AXIS):
+    """Place an SDState's arrays according to the sharding plan."""
+    sh = state_shardings(mesh, axis_name)
+    kw = {f.name: jax.device_put(getattr(state, f.name), sh[f.name])
+          for f in dataclasses.fields(state)}
+    return dataclasses.replace(state, **kw)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree over the mesh (instance arrays, prep, etc.)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), tree)
