@@ -1,0 +1,207 @@
+"""Command-line entry point.
+
+The reference has no CLI — its drivers are copy-paste Julia scripts
+(test/instance_test/*.jl, SURVEY.md L5). Here:
+
+    python -m sqlp_tpu solve ssn --iters 3000 --schedule adaptive --rho 1e-3
+    python -m sqlp_tpu ef lands --scenarios 100
+    python -m sqlp_tpu evaluate transship --samples 20000
+    python -m sqlp_tpu bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _build_config(args):
+    from sqlp_tpu.config import PDHGConfig, QPConfig, SDConfig
+    return SDConfig(
+        dtype=args.dtype,
+        quad_schedule=args.schedule,
+        quad_scalar_init=args.rho,
+        max_scenarios=args.max_scenarios,
+        max_dual_vertices=args.max_duals,
+        max_cuts=args.max_cuts,
+        scenarios_per_iter=args.batch,
+        pdhg=PDHGConfig(tol=args.sub_tol, max_iters=args.sub_iters),
+        qp=QPConfig(tol=args.master_tol, max_iters=args.master_iters),
+    )
+
+
+def cmd_solve(args) -> int:
+    import jax
+    from sqlp_tpu.models.crash import crash_x0
+    from sqlp_tpu.models.instance import load_instance
+    from sqlp_tpu.sd.driver import SDSolver
+    from sqlp_tpu.utils.checkpoint import load_state, save_state
+    from sqlp_tpu.utils.metrics import MetricsLogger
+    from sqlp_tpu.utils.profiling import trace
+
+    config = _build_config(args)
+    inst = load_instance(args.instance, dtype=config.jdtype)
+    print(f"{inst.name}: n1={inst.n1} m1={inst.m1} n2={inst.n2} "
+          f"m2={inst.m2} R={inst.n_rv}", file=sys.stderr)
+
+    if args.x0 == "crash":
+        x0, ef_obj, ef_stats = crash_x0(inst, n_scenarios=args.crash_scenarios,
+                                        seed=args.seed)
+        print(f"crash x0 from {args.crash_scenarios}-scenario EF "
+              f"(obj {float(ef_obj):.4f})", file=sys.stderr)
+    else:
+        x0 = np.zeros(inst.n1)
+
+    solver = SDSolver(inst, config, x0=x0, seed=args.seed)
+    if args.resume:
+        solver.state = load_state(args.resume, template=solver.state)
+        print(f"resumed from {args.resume} at iter {int(solver.state.it)}",
+              file=sys.stderr)
+
+    logger = MetricsLogger(args.log)
+    t0 = time.time()
+    with trace(args.profile):
+        for i in range(args.iters):
+            stats = solver.step()
+            it = int(stats["it"])
+            if args.log_every and (i + 1) % args.log_every == 0:
+                rec = logger.log(stats)
+                print(f"iter {it}: lb_est={rec['cand_est']:.4f} "
+                      f"rho={rec['rho']:.4g} duals={rec['n_duals']} "
+                      f"cuts={rec['n_cuts_live']}", file=sys.stderr)
+            if args.eval_every and (i + 1) % args.eval_every == 0:
+                ub = solver.evaluate(n_samples=args.eval_samples,
+                                     seed=args.seed + it)
+                logger.log({"it": it, "mc_upper_bound": ub})
+                print(f"iter {it}: mc_ub={ub:.4f}", file=sys.stderr)
+            if args.checkpoint and args.checkpoint_every and \
+                    (i + 1) % args.checkpoint_every == 0:
+                save_state(args.checkpoint, solver.state, instance=inst.name)
+    elapsed = time.time() - t0
+
+    if args.checkpoint:
+        save_state(args.checkpoint, solver.state, instance=inst.name)
+    ub = solver.evaluate(n_samples=args.eval_samples, seed=args.seed + 1)
+    logger.log({"it": int(solver.state.it), "mc_upper_bound": ub,
+                "final": True})
+    logger.close()
+    print(f"done: {args.iters} iters in {elapsed:.1f}s "
+          f"({args.iters / max(elapsed, 1e-9):.1f} it/s)", file=sys.stderr)
+    print(f"lb_est={solver.lower_estimate:.6f} mc_ub={ub:.6f}")
+    print(f"x_incumbent={np.round(solver.x_incumbent, 6).tolist()}")
+    return 0
+
+
+def cmd_ef(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    from sqlp_tpu.config import PDHGConfig
+    from sqlp_tpu.models.crash import solve_extensive_form
+    from sqlp_tpu.models.instance import load_instance
+    from sqlp_tpu.models.scenario import sample_deltas
+
+    config = _build_config(args)
+    inst = load_instance(args.instance, dtype=config.jdtype)
+    key = jax.random.PRNGKey(args.seed)
+    deltas = sample_deltas(key, inst.scenario_model, args.scenarios)
+    probs = jnp.full((args.scenarios,), 1.0 / args.scenarios, config.jdtype)
+    t0 = time.time()
+    x, obj, stats = solve_extensive_form(
+        inst.arrays, inst.scenario_model, deltas, probs,
+        PDHGConfig(tol=args.sub_tol, max_iters=args.sub_iters))
+    print(f"EF over {args.scenarios} scenarios in {time.time() - t0:.1f}s "
+          f"(err {float(stats['ef_err']):.2e}, "
+          f"converged={bool(stats['ef_converged'])})", file=sys.stderr)
+    print(f"objective={float(obj):.6f}")
+    print(f"x={np.round(np.asarray(x), 6).tolist()}")
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from sqlp_tpu.models.instance import load_instance
+    from sqlp_tpu.sd.driver import SDSolver
+
+    config = _build_config(args)
+    inst = load_instance(args.instance, dtype=config.jdtype)
+    solver = SDSolver(inst, config, seed=args.seed)
+    x = np.asarray([float(v) for v in args.x.split(",")]) \
+        if args.x else np.zeros(inst.n1)
+    ub = solver.evaluate(x=x, n_samples=args.samples, seed=args.seed)
+    print(f"E[cost at x] ~= {ub:.6f} ({args.samples} samples)")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+    bench.main()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="sqlp_tpu",
+                                description="TPU-native two-stage SD solver")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--dtype", default="float32",
+                        choices=["float32", "float64"])
+        sp.add_argument("--schedule", default="constant",
+                        choices=["constant", "adaptive"])
+        sp.add_argument("--rho", type=float, default=0.1,
+                        help="prox weight (initial, for adaptive)")
+        sp.add_argument("--max-scenarios", type=int, default=4096)
+        sp.add_argument("--max-duals", type=int, default=2048)
+        sp.add_argument("--max-cuts", type=int, default=96)
+        sp.add_argument("--batch", type=int, default=1,
+                        help="scenarios per iteration per epigraph")
+        sp.add_argument("--sub-tol", type=float, default=1e-4)
+        sp.add_argument("--sub-iters", type=int, default=60_000)
+        sp.add_argument("--master-tol", type=float, default=1e-7)
+        sp.add_argument("--master-iters", type=int, default=4_000)
+
+    ps = sub.add_parser("solve", help="run SD iterations on an instance")
+    ps.add_argument("instance")
+    ps.add_argument("--iters", type=int, default=1000)
+    ps.add_argument("--x0", default="zeros", choices=["zeros", "crash"])
+    ps.add_argument("--crash-scenarios", type=int, default=10)
+    ps.add_argument("--log", default=None, help="JSONL metrics path")
+    ps.add_argument("--log-every", type=int, default=100)
+    ps.add_argument("--eval-every", type=int, default=0)
+    ps.add_argument("--eval-samples", type=int, default=1000)
+    ps.add_argument("--checkpoint", default=None)
+    ps.add_argument("--checkpoint-every", type=int, default=0)
+    ps.add_argument("--resume", default=None)
+    ps.add_argument("--profile", default=None,
+                    help="jax.profiler trace directory")
+    common(ps)
+    ps.set_defaults(fn=cmd_solve)
+
+    pe = sub.add_parser("ef", help="solve the sampled extensive form")
+    pe.add_argument("instance")
+    pe.add_argument("--scenarios", type=int, default=100)
+    common(pe)
+    pe.set_defaults(fn=cmd_ef)
+
+    pv = sub.add_parser("evaluate", help="Monte-Carlo cost estimate at x")
+    pv.add_argument("instance")
+    pv.add_argument("--x", default=None, help="comma-separated first-stage x")
+    pv.add_argument("--samples", type=int, default=10_000)
+    common(pv)
+    pv.set_defaults(fn=cmd_evaluate)
+
+    pb = sub.add_parser("bench", help="run the benchmark harness")
+    pb.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -24,3 +24,4 @@ from sqlp_tpu.models.stage import (  # noqa: F401
 )
 from sqlp_tpu.models.instance import Instance, load_instance, compile_instance  # noqa: F401
 from sqlp_tpu.models.scenario import ScenarioModel, build_scenario_model, sample_deltas  # noqa: F401
+from sqlp_tpu.models.crash import crash_x0, solve_extensive_form  # noqa: F401

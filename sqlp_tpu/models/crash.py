@@ -1,0 +1,260 @@
+"""Extensive-form (deterministic equivalent) solver: the crash start.
+
+Port of record: ``all_in_one`` (src/crash.jl:18-73). The reference builds
+one big JuMP model — root copy + per-scenario second-stage variable/
+constraint copies with probability-weighted objective — and the driver
+solves it with CPLEX to get a starting x0
+(test/instance_test/sd_single_cut_test.jl:42-46). Here the deterministic
+equivalent
+
+    min  c@x + sum_s p_s q@y_s
+    s.t. A1 x {senses1} b1
+         T x + W y_s {senses2} r + dr_s      for each scenario s
+         lb1 <= x <= ub1,  lb2 <= y_s <= ub2
+
+is solved by a *structured* PDHG: the constraint operator is applied
+blockwise ([S, n2] panels against shared W/T), so the [S*m2, n1+S*n2]
+matrix never materializes — the same scenario-batched matmuls as the
+subproblem kernel, which is exactly how the EF maps onto the MXU. Also
+usable as a direct SAA solver on a fixed scenario panel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sqlp_tpu.config import PDHGConfig
+from sqlp_tpu.models.instance import Instance, InstanceArrays
+from sqlp_tpu.models.scenario import ScenarioModel, sample_deltas
+from sqlp_tpu.models.stage import SENSE_E, SENSE_L
+
+_PREC = jax.lax.Precision.HIGHEST
+_BIG = 1e30
+
+
+def _dot(a, b):
+    return jnp.matmul(a, b, precision=_PREC)
+
+
+def _flip(senses, M, dtype):
+    f = jnp.where(senses == SENSE_L, -1.0, 1.0).astype(dtype)
+    return f, f[:, None] * M
+
+
+@partial(jax.jit, static_argnames=("config",))
+def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
+                         deltas: jax.Array, probs: jax.Array,
+                         config: PDHGConfig = PDHGConfig()
+                         ) -> Tuple[jax.Array, jax.Array, dict]:
+    """Solve the extensive form over a fixed scenario panel.
+
+    Args:
+      arrays: compiled instance blocks.
+      deltas: [S, R] raw scenario deltas (value - template).
+      probs: [S] scenario probabilities (sum to 1).
+      config: PDHG parameters.
+
+    Returns: (x [n1], objective, stats).
+    """
+    dtype = arrays.c.dtype
+    S = deltas.shape[0]
+    m1, n1 = arrays.A1.shape
+    m2, n2 = arrays.W.shape
+
+    f1, A1f = _flip(arrays.senses1, arrays.A1, dtype)
+    f2, Wf = _flip(arrays.senses2, arrays.W, dtype)
+    _, Tf = _flip(arrays.senses2, arrays.T, dtype)
+    eq1 = arrays.senses1 == SENSE_E
+    eq2 = arrays.senses2 == SENSE_E
+
+    # per-scenario flipped rhs: f2 * (r + scatter(delta_r)); transfer-matrix
+    # randomness patches Tf per scenario — supported via the effective-rhs
+    # trick only for RHS positions; transfer positions contribute through
+    # x-dependent terms handled below.
+    rhs_delta = jnp.where(model.rv_is_rhs[None, :], deltas, 0.0)      # [S, R]
+    r_s = jnp.broadcast_to(arrays.r, (S, m2))
+    r_s = r_s.at[:, model.rv_row].add(rhs_delta)
+    h2 = r_s * f2[None, :]                                            # [S, m2]
+    b1f = arrays.b1 * f1
+
+    # per-scenario transfer deltas (columns of T): dT[s] has entries
+    # deltas[s,k] at (rv_row[k], rv_col[k]) for non-RHS positions.
+    # (all-zero when randomness is RHS-only, the shipped-instance fast path;
+    # the scatter then costs one cheap no-op add)
+    tr_delta = jnp.where(model.rv_is_rhs[None, :], 0.0, deltas)       # [S, R]
+
+    def T_apply(x):
+        """[S, m2] = (Tf + dTf_s) x for all scenarios."""
+        base = _dot(arrays.T, x)                                      # [m2]
+        out = jnp.broadcast_to(base, (S, m2))
+        contrib = tr_delta * x[model.rv_col][None, :]                 # [S, R]
+        out = out.at[:, model.rv_row].add(contrib)
+        return out * f2[None, :]
+
+    def Tt_apply(U):
+        """[n1] = sum_s (Tf + dTf_s)' U_s."""
+        Uf = U * f2[None, :]
+        out = _dot(arrays.T.T, jnp.sum(Uf, axis=0))
+        contrib = tr_delta * Uf[:, model.rv_row]                      # [S, R]
+        out = out.at[model.rv_col].add(jnp.sum(contrib, axis=0))
+        return out
+
+    # spectral norm of the structured operator by power iteration
+    def K_apply(x, Y):
+        return _dot(A1f, x), T_apply(x) + _dot(Y, Wf.T)
+
+    def Kt_apply(u0, U):
+        return (_dot(A1f.T, u0) + Tt_apply(U), _dot(U, Wf))
+
+    def power_body(_, carry):
+        x, Y = carry
+        u0, U = K_apply(x, Y)
+        x, Y = Kt_apply(u0, U)
+        nrm = jnp.sqrt(jnp.sum(x * x) + jnp.sum(Y * Y))
+        return x / jnp.maximum(nrm, 1e-30), Y / jnp.maximum(nrm, 1e-30)
+
+    x0 = jnp.cos(jnp.arange(n1, dtype=dtype) * 0.7 + 0.3)
+    Y0 = jnp.cos(jnp.arange(S * n2, dtype=dtype) * 0.3 + 0.1).reshape(S, n2)
+    xv, Yv = jax.lax.fori_loop(0, 48, power_body, (x0, Y0))
+    u0, U = K_apply(xv, Yv)
+    Kt_x, Kt_Y = Kt_apply(u0, U)
+    norm = jnp.sqrt(jnp.sqrt(jnp.sum(Kt_x ** 2) + jnp.sum(Kt_Y ** 2)))
+    eta = 0.9 / jnp.maximum(norm, 1e-30)
+
+    lb1 = jnp.where(jnp.isfinite(arrays.lb1), arrays.lb1, -_BIG)
+    ub1 = jnp.where(jnp.isfinite(arrays.ub1), arrays.ub1, _BIG)
+    lb2 = jnp.where(jnp.isfinite(arrays.lb2), arrays.lb2, -_BIG)
+    ub2 = jnp.where(jnp.isfinite(arrays.ub2), arrays.ub2, _BIG)
+
+    qS = probs[:, None] * arrays.q[None, :]                           # [S, n2]
+
+    def proj_dual(u0, U):
+        u0 = jnp.where(eq1, u0, jnp.maximum(u0, 0.0))
+        U = jnp.where(eq2[None, :], U, jnp.maximum(U, 0.0))
+        return u0, U
+
+    def pd_round(carry, omega):
+        x, Y, u0, U = carry
+        tau = eta / omega
+        sig = eta * omega
+
+        def body(_, c):
+            x, Y, u0, U, xs, Ys, us, Us = c
+            gx, gY = Kt_apply(u0, U)
+            x1 = jnp.clip(x - tau * (arrays.c - gx), lb1, ub1)
+            Y1 = jnp.clip(Y - tau * (qS - gY), lb2, ub2)
+            kx, kY = K_apply(2.0 * x1 - x, 2.0 * Y1 - Y)
+            u01, U1 = proj_dual(u0 + sig * (b1f - kx), U + sig * (h2 - kY))
+            return (x1, Y1, u01, U1, xs + x1, Ys + Y1, us + u01, Us + U1)
+
+        z = jnp.zeros
+        init = (x, Y, u0, U, z(x.shape, dtype), z(Y.shape, dtype),
+                z(u0.shape, dtype), z(U.shape, dtype))
+        out = jax.lax.fori_loop(0, config.restart_every, body, init)
+        x, Y, u0, U = out[:4]
+        cnt = jnp.asarray(config.restart_every, dtype)
+        return (x, Y, u0, U), tuple(a / cnt for a in out[4:])
+
+    def residual(x, Y, u0, U):
+        kx, kY = K_apply(x, Y)
+        p1 = jnp.where(eq1, jnp.abs(b1f - kx), jnp.maximum(b1f - kx, 0.0))
+        p2 = jnp.where(eq2[None, :], jnp.abs(h2 - kY),
+                       jnp.maximum(h2 - kY, 0.0))
+        scale = 1.0 + jnp.sqrt(jnp.sum(b1f ** 2) + jnp.sum(h2 ** 2))
+        pres = jnp.sqrt(jnp.sum(p1 ** 2) + jnp.sum(p2 ** 2)) / scale
+        gx, gY = Kt_apply(u0, U)
+        gx = arrays.c - gx
+        gY = qS - gY
+        dv_x = (jnp.where(~jnp.isfinite(arrays.ub1), jnp.maximum(-gx, 0), 0)
+                + jnp.where(~jnp.isfinite(arrays.lb1), jnp.maximum(gx, 0), 0))
+        dv_Y = (jnp.where(~jnp.isfinite(arrays.ub2)[None, :],
+                          jnp.maximum(-gY, 0), 0)
+                + jnp.where(~jnp.isfinite(arrays.lb2)[None, :],
+                            jnp.maximum(gY, 0), 0))
+        qscale = 1.0 + jnp.sqrt(jnp.sum(arrays.c ** 2) + jnp.sum(qS ** 2))
+        dres = jnp.sqrt(jnp.sum(dv_x ** 2) + jnp.sum(dv_Y ** 2)) / qscale
+        pobj = _dot(arrays.c, x) + jnp.sum(qS * Y)
+        dobj = (jnp.sum(u0 * b1f) + jnp.sum(U * h2)
+                + jnp.sum(jnp.maximum(gx, 0) * jnp.where(
+                    jnp.isfinite(arrays.lb1), arrays.lb1, 0.0))
+                - jnp.sum(jnp.maximum(-gx, 0) * jnp.where(
+                    jnp.isfinite(arrays.ub1), arrays.ub1, 0.0))
+                + jnp.sum(jnp.maximum(gY, 0) * jnp.where(
+                    jnp.isfinite(arrays.lb2), arrays.lb2, 0.0)[None, :])
+                - jnp.sum(jnp.maximum(-gY, 0) * jnp.where(
+                    jnp.isfinite(arrays.ub2), arrays.ub2, 0.0)[None, :]))
+        gap = jnp.abs(pobj - dobj) / (1.0 + jnp.abs(pobj) + jnp.abs(dobj))
+        return jnp.maximum(jnp.maximum(pres, dres), gap), pobj
+
+    n_rounds = max(1, config.max_iters // config.restart_every)
+
+    def cond(c):
+        return jnp.logical_and(c[-2] < n_rounds, c[-1] > config.tol)
+
+    def round_step(c):
+        x, Y, u0, U, xb, Yb, omega, err_r, err_last, it, err_best = c
+        (x1, Y1, u01, U1), (xa, Ya, ua, Ua) = pd_round((x, Y, u0, U), omega)
+        ec, _ = residual(x1, Y1, u01, U1)
+        ea, _ = residual(xa, Ya, ua, Ua)
+        use_avg = ea < ec
+        xc = jnp.where(use_avg, xa, x1)
+        Yc = jnp.where(use_avg, Ya, Y1)
+        uc = jnp.where(use_avg, ua, u01)
+        Uc = jnp.where(use_avg, Ua, U1)
+        err = jnp.minimum(ea, ec)
+        better = err < err_best
+        xb = jnp.where(better, xc, xb)
+        Yb = jnp.where(better, Yc, Yb)
+        err_best = jnp.minimum(err, err_best)
+        restart = jnp.logical_or(err <= 0.2 * err_r,
+                                 jnp.logical_and(err <= 0.8 * err_r,
+                                                 err > err_last))
+        dprim = jnp.sqrt(jnp.sum((xc - x) ** 2) + jnp.sum((Yc - Y) ** 2))
+        ddual = jnp.sqrt(jnp.sum((uc - u0) ** 2) + jnp.sum((Uc - U) ** 2))
+        omega_new = jnp.where(
+            jnp.logical_and(dprim > 1e-12, ddual > 1e-12),
+            jnp.clip(jnp.exp(0.5 * jnp.log(ddual / dprim)
+                             + 0.5 * jnp.log(omega)), 1e-4, 1e4),
+            omega)
+        x = jnp.where(restart, xc, x1)
+        Y = jnp.where(restart, Yc, Y1)
+        u0 = jnp.where(restart, uc, u01)
+        U = jnp.where(restart, Uc, U1)
+        omega = jnp.where(restart, omega_new, omega)
+        err_r = jnp.where(restart, err, err_r)
+        return (x, Y, u0, U, xb, Yb, omega, err_r, err, it + 1, err_best)
+
+    xi = jnp.clip(jnp.zeros((n1,), dtype), lb1, ub1)
+    Yi = jnp.clip(jnp.zeros((S, n2), dtype), lb2, ub2)
+    inf = jnp.asarray(jnp.inf, dtype)
+    c0 = (xi, Yi, jnp.zeros((m1,), dtype), jnp.zeros((S, m2), dtype),
+          xi, Yi, jnp.ones((), dtype), inf, inf,
+          jnp.zeros((), jnp.int32), inf)
+    out = jax.lax.while_loop(cond, round_step, c0)
+    x, Y, u0, U, xb, Yb, omega, err_r, err_last, rounds, err_best = out
+
+    obj = _dot(arrays.c, xb) + jnp.sum(qS * Yb)
+    stats = {"ef_iters": rounds * config.restart_every,
+             "ef_err": err_best,
+             "ef_converged": err_best <= config.tol}
+    return xb, obj, stats
+
+
+def crash_x0(inst: Instance, n_scenarios: int = 10, seed: int = 0,
+             config: Optional[PDHGConfig] = None):
+    """Sampled-extensive-form starting point (the reference driver's crash
+    pattern, sd_single_cut_test.jl:42-46: 10 sampled scenarios, solve,
+    take x)."""
+    config = config or PDHGConfig(tol=1e-6, max_iters=40_000)
+    key = jax.random.PRNGKey(seed)
+    deltas = sample_deltas(key, inst.scenario_model, n_scenarios)
+    probs = jnp.full((n_scenarios,), 1.0 / n_scenarios,
+                     inst.arrays.c.dtype)
+    x, obj, stats = solve_extensive_form(
+        inst.arrays, inst.scenario_model, deltas, probs, config)
+    return x, obj, stats

@@ -69,6 +69,11 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
     """
     mA, nz = A.shape
     dtype = A.dtype
+    # f32 Cholesky round-off floors the achievable residual near 5e-5; an
+    # unreachable tolerance would silently mark every master solve failed,
+    # which disables the reference's cut pruning (algorithm.jl:57) and lets
+    # pools grow to eviction. Clamp to a dtype-achievable tolerance.
+    eff_tol = max(config.tol, 512.0 * float(jnp.finfo(dtype).eps))
     sig = jnp.asarray(config.sigma, dtype)
     alpha = jnp.asarray(config.over_relax, dtype)
     rho_vec = jnp.where(is_eq, config.rho * config.rho_eq_scale,
@@ -107,7 +112,7 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
 
     def cond(carry):
         _, _, _, it, err = carry
-        return jnp.logical_and(it < n_rounds, err > config.tol)
+        return jnp.logical_and(it < n_rounds, err > eff_tol)
 
     def round_step(carry):
         z, zeta, mu, it, _ = carry
@@ -122,6 +127,6 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
     stats = {
         "qp_iters": rounds * config.check_every,
         "qp_err": err,
-        "qp_converged": err <= config.tol,
+        "qp_converged": err <= eff_tol,
     }
     return z, mu, stats

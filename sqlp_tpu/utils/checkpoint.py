@@ -1,0 +1,64 @@
+"""Checkpoint / resume for the SD solver state.
+
+The reference has no checkpointing — algorithm state lives only in process
+memory (SURVEY.md §5.4). Because our entire solver state is one pytree of
+arrays (sqlp_tpu/sd/state.py), a checkpoint is a flat .npz of its fields;
+resume restores every array including the PRNG key, so a restored run
+continues the exact trajectory (deterministic step + restored key).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sqlp_tpu.sd.state import SDState
+
+_META_PREFIX = "__meta_"
+
+
+def save_state(path: str, state: SDState, **meta) -> None:
+    """Write the state pytree (and optional scalar metadata) to .npz."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = {f.name: np.asarray(getattr(state, f.name))
+               for f in dataclasses.fields(state)}
+    for k, v in meta.items():
+        payload[_META_PREFIX + k] = np.asarray(v)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, **payload)
+    os.replace(tmp, path)
+
+
+def load_state(path: str, template: Optional[SDState] = None) -> SDState:
+    """Restore an SDState. With a template (from init_state), dtypes/shapes
+    are validated against the current configuration."""
+    with np.load(path) as z:
+        fields = {k: z[k] for k in z.files if not k.startswith(_META_PREFIX)}
+    names = {f.name for f in dataclasses.fields(SDState)}
+    missing = names - fields.keys()
+    if missing:
+        raise ValueError(f"checkpoint {path} missing fields: {sorted(missing)}")
+    arrays = {}
+    for name in names:
+        a = jnp.asarray(fields[name])
+        if template is not None:
+            t = getattr(template, name)
+            if a.shape != t.shape:
+                raise ValueError(
+                    f"checkpoint field {name}: shape {a.shape} != "
+                    f"configured {t.shape} (capacities must match)")
+            a = a.astype(t.dtype)
+        arrays[name] = a
+    return SDState(**arrays)
+
+
+def load_meta(path: str) -> dict:
+    with np.load(path) as z:
+        return {k[len(_META_PREFIX):]: z[k].item()
+                for k in z.files if k.startswith(_META_PREFIX)}

@@ -1,0 +1,80 @@
+"""Aux subsystems: checkpoint/resume determinism, metrics sink."""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from sqlp_tpu.config import PDHGConfig, QPConfig, SDConfig
+from sqlp_tpu.models.instance import load_instance
+from sqlp_tpu.sd.driver import SDSolver
+from sqlp_tpu.utils.checkpoint import load_meta, load_state, save_state
+from sqlp_tpu.utils.metrics import MetricsLogger
+
+from conftest import require_instance
+
+_CFG = SDConfig(
+    dtype="float64",
+    max_scenarios=128, max_dual_vertices=64, max_cuts=16,
+    pdhg=PDHGConfig(tol=1e-8, max_iters=10_000),
+    qp=QPConfig(tol=1e-9, max_iters=4_000),
+)
+
+
+def _solver():
+    require_instance("lands")
+    inst = load_instance("lands", dtype=jnp.float64)
+    return SDSolver(inst, _CFG, x0=np.array([3.0, 3.0, 3.0, 3.0]), seed=5)
+
+
+def test_checkpoint_resume_exact_trajectory(tmp_path):
+    """10 iters -> checkpoint -> 10 more must equal 20 straight iters
+    bitwise (checkpoint restores the PRNG key; SURVEY.md §5.4)."""
+    path = str(tmp_path / "ckpt.npz")
+
+    a = _solver()
+    a.run(10)
+    save_state(path, a.state, instance="lands")
+    a.run(10)
+
+    b = _solver()
+    b.state = load_state(path, template=b.state)
+    assert int(b.state.it) == 10
+    b.run(10)
+
+    np.testing.assert_array_equal(a.x_candidate, b.x_candidate)
+    np.testing.assert_array_equal(a.x_incumbent, b.x_incumbent)
+    assert int(a.state.n_duals) == int(b.state.n_duals)
+    assert load_meta(path)["instance"] == "lands"
+
+
+def test_checkpoint_shape_mismatch_rejected(tmp_path):
+    path = str(tmp_path / "ckpt.npz")
+    a = _solver()
+    save_state(path, a.state)
+    small = SDSolver(a.inst, _CFG.replace(max_cuts=8),
+                     x0=np.zeros(4), seed=5)
+    try:
+        load_state(path, template=small.state)
+        raise AssertionError("expected shape mismatch rejection")
+    except ValueError as e:
+        assert "shape" in str(e)
+
+
+def test_metrics_jsonl_sink(tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    with MetricsLogger(path) as log:
+        log.log({"it": jnp.asarray(1), "cand_est": jnp.asarray(2.5),
+                 "is_improved": jnp.asarray(True),
+                 "x_candidate": jnp.zeros(4)},  # non-scalar -> dropped
+                tag="t")
+        log.log({"it": 2, "bad": float("nan")})
+    lines = [json.loads(l) for l in open(path)]
+    assert lines[0]["it"] == 1
+    assert lines[0]["cand_est"] == 2.5
+    assert lines[0]["is_improved"] is True
+    assert lines[0]["tag"] == "t"
+    assert "x_candidate" not in lines[0]
+    assert "bad" not in lines[1]
+    assert "wall_s" in lines[0]
