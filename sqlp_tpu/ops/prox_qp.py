@@ -79,54 +79,101 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
     rho_vec = jnp.where(is_eq, config.rho * config.rho_eq_scale,
                         config.rho).astype(dtype)
 
-    M = jnp.diag(p_diag + sig) + _dot(A.T * rho_vec[None, :], A)
-    chol = jnp.linalg.cholesky(M)
+    # --- OSQP-style problem scaling. SASA cut coefficients reach ~1e6 on
+    # the shipped instances (baa99-20); unscaled, the f32 Cholesky of
+    # A'A ~ 1e12 breaks down and ADMM emits NaNs. Ruiz-equilibrate A and
+    # normalize the cost; solve scaled, report/terminate unscaled.
+    def ruiz_body(_, carry):
+        As, dr, dc = carry
+        rn = jnp.sqrt(jnp.max(jnp.abs(As), axis=1))
+        rn = jnp.where(rn > 0, rn, 1.0)
+        As = As / rn[:, None]
+        cn = jnp.sqrt(jnp.max(jnp.abs(As), axis=0))
+        cn = jnp.where(cn > 0, cn, 1.0)
+        As = As / cn[None, :]
+        return As, dr / rn, dc / cn
 
-    lc = jnp.where(jnp.isfinite(l), l, -1e30)
-    uc = jnp.where(jnp.isfinite(u), u, 1e30)
+    As, dr, dc = jax.lax.fori_loop(
+        0, 10, ruiz_body,
+        (A, jnp.ones((mA,), dtype), jnp.ones((nz,), dtype)))
+    g_s = dc * g
+    cost_s = 1.0 / jnp.maximum(1.0, jnp.max(jnp.abs(g_s)))
+    p_s = cost_s * dc * dc * p_diag
+    g_s = cost_s * g_s
+    l_s = dr * l
+    u_s = dr * u
 
-    z = jnp.zeros((nz,), dtype) if z0 is None else z0
-    mu = jnp.zeros((mA,), dtype) if mu0 is None else mu0
-    zeta = jnp.clip(_dot(A, z), lc, uc)
+    lc = jnp.where(jnp.isfinite(l_s), l_s, -1e30)
+    uc = jnp.where(jnp.isfinite(u_s), u_s, 1e30)
+
+    # warm starts arrive in original units
+    z = jnp.zeros((nz,), dtype) if z0 is None else z0 / dc
+    mu = jnp.zeros((mA,), dtype) if mu0 is None else cost_s * mu0 / dr
 
     n_rounds = max(1, config.max_iters // config.check_every)
 
-    def one_step(carry):
+    def factor(rho_s):
+        rho_vec = jnp.where(is_eq, rho_s * config.rho_eq_scale, rho_s)
+        M = jnp.diag(p_s + sig) + _dot(As.T * rho_vec[None, :], As)
+        return rho_vec, jnp.linalg.cholesky(M)
+
+    def one_step(carry, rho_vec, chol):
         z, zeta, mu = carry
-        rhs = sig * z - g + _dot(A.T, rho_vec * zeta - mu)
+        rhs = sig * z - g_s + _dot(As.T, rho_vec * zeta - mu)
         z1 = jax.scipy.linalg.cho_solve((chol, True), rhs)
-        Az = _dot(A, z1)
+        Az = _dot(As, z1)
         v = alpha * Az + (1.0 - alpha) * zeta
         zeta1 = jnp.clip(v + mu / rho_vec, lc, uc)
         mu1 = mu + rho_vec * (v - zeta1)
         return z1, zeta1, mu1
 
     def residuals(z, zeta, mu):
-        Az = _dot(A, z)
-        pres = jnp.max(jnp.abs(Az - zeta))
-        pscale = 1.0 + jnp.maximum(jnp.max(jnp.abs(Az)), jnp.max(jnp.abs(zeta)))
-        dres = jnp.max(jnp.abs(p_diag * z + g + _dot(A.T, mu)))
-        dscale = 1.0 + jnp.maximum(jnp.max(jnp.abs(p_diag * z + g)),
-                                   jnp.max(jnp.abs(_dot(A.T, mu))))
-        return jnp.maximum(pres / pscale, dres / dscale)
+        """Relative primal/dual residuals in the ORIGINAL problem."""
+        zo = dc * z
+        muo = (dr / cost_s) * mu
+        Az = _dot(A, zo)
+        zetao = zeta / dr
+        pres = jnp.max(jnp.abs(Az - zetao))
+        pscale = 1.0 + jnp.maximum(jnp.max(jnp.abs(Az)),
+                                   jnp.max(jnp.abs(zetao)))
+        grad = p_diag * zo + g
+        Atmu = _dot(A.T, muo)
+        dres = jnp.max(jnp.abs(grad + Atmu))
+        dscale = 1.0 + jnp.maximum(jnp.max(jnp.abs(grad)),
+                                   jnp.max(jnp.abs(Atmu)))
+        return pres / pscale, dres / dscale
 
     def cond(carry):
-        _, _, _, it, err = carry
+        it, err = carry[3], carry[4]
         return jnp.logical_and(it < n_rounds, err > eff_tol)
 
     def round_step(carry):
-        z, zeta, mu, it, _ = carry
+        z, zeta, mu, it, _, rho_s = carry
+        rho_vec, chol = factor(rho_s)
         z, zeta, mu = jax.lax.fori_loop(
-            0, config.check_every, lambda _, c: one_step(c), (z, zeta, mu))
-        err = residuals(z, zeta, mu)
-        return z, zeta, mu, it + 1, err
+            0, config.check_every,
+            lambda _, c: one_step(c, rho_vec, chol), (z, zeta, mu))
+        pres, dres = residuals(z, zeta, mu)
+        err = jnp.maximum(pres, dres)
+        # OSQP rho adaptation: rebalance the penalty toward the lagging
+        # residual (refactorization is O(nz^3) on a tiny matrix, once per
+        # check interval). Fixed rho stalls on badly conditioned masters.
+        ratio = jnp.sqrt((pres + 1e-20) / (dres + 1e-20))
+        adapt = jnp.logical_or(ratio > 2.0, ratio < 0.5)
+        rho_s = jnp.where(adapt, jnp.clip(rho_s * ratio, 1e-6, 1e6), rho_s)
+        return z, zeta, mu, it + 1, err, rho_s
 
-    init = (z, zeta, mu, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dtype))
-    z, zeta, mu, rounds, err = jax.lax.while_loop(cond, round_step, init)
+    rho0 = jnp.asarray(config.rho, dtype)
+    rho_vec0, _ = factor(rho0)
+    zeta = jnp.clip(_dot(As, z), lc, uc)
+    init = (z, zeta, mu, jnp.zeros((), jnp.int32),
+            jnp.asarray(jnp.inf, dtype), rho0)
+    z, zeta, mu, rounds, err, rho_s = jax.lax.while_loop(
+        cond, round_step, init)
 
     stats = {
         "qp_iters": rounds * config.check_every,
         "qp_err": err,
         "qp_converged": err <= eff_tol,
     }
-    return z, mu, stats
+    return dc * z, (dr / cost_s) * mu, stats

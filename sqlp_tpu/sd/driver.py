@@ -10,12 +10,20 @@ estimate the Monte-Carlo upper bound. Those scripts are the reference's only
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# The jitted sd_step is a large graph (~minutes of XLA compile on TPU);
+# cache compilations across processes.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("SQLP_TPU_COMPILE_CACHE",
+                                 os.path.expanduser("~/.cache/sqlp_tpu_xla")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 from sqlp_tpu.config import SDConfig
 from sqlp_tpu.models.instance import Instance, load_instance

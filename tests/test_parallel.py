@@ -1,0 +1,100 @@
+"""Distribution tests: sharded-vs-single-device consistency and the
+multi-epigraph configuration (the reference's marquee extension:
+readme.md:5-9 'multiple weighted epigraph variables, each with its own
+cut pool')."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from sqlp_tpu.config import PDHGConfig, QPConfig, SDConfig
+from sqlp_tpu.models.instance import load_instance
+from sqlp_tpu.parallel.mesh import make_mesh, replicate, shard_state
+from sqlp_tpu.sd.algorithm import sd_step
+from sqlp_tpu.sd.driver import SDSolver
+from sqlp_tpu.sd.state import default_epigraph_spec, init_state
+
+from conftest import require_instance
+
+_CFG = SDConfig(
+    dtype="float64",
+    max_scenarios=128, max_dual_vertices=64, max_cuts=16,
+    pdhg=PDHGConfig(tol=1e-8, max_iters=10_000),
+    qp=QPConfig(tol=1e-9, max_iters=4_000),
+)
+
+
+def test_sharded_step_matches_single_device():
+    """20 iterations on the 8-device mesh must match the unsharded run
+    (reductions may reassociate; assert to tight tolerance)."""
+    require_instance("lands")
+    assert jax.device_count() >= 8
+    inst = load_instance("lands", dtype=jnp.float64)
+    espec = default_epigraph_spec(1, 1.0, 0.0, dtype=jnp.float64)
+    x0 = np.array([3.0, 3.0, 3.0, 3.0])
+
+    from sqlp_tpu.ops.pdhg import prepare_lp
+    prep = prepare_lp(inst.arrays.W, inst.arrays.senses2, inst.arrays.q,
+                      inst.arrays.lb2, inst.arrays.ub2)
+
+    # single device
+    s1 = init_state(inst, espec, _CFG, x0, jax.random.PRNGKey(3))
+    for _ in range(20):
+        s1, _ = sd_step(inst.arrays, inst.scenario_model, espec, prep,
+                        s1, _CFG)
+
+    # 8-device mesh
+    mesh = make_mesh(8)
+    arrays = replicate(inst.arrays, mesh)
+    model = replicate(inst.scenario_model, mesh)
+    espec_r = replicate(espec, mesh)
+    prep_r = replicate(prep, mesh)
+    s8 = shard_state(init_state(inst, espec, _CFG, x0,
+                                jax.random.PRNGKey(3)), mesh)
+    for _ in range(20):
+        s8, _ = sd_step(arrays, model, espec_r, prep_r, s8, _CFG)
+
+    np.testing.assert_allclose(np.asarray(s1.x_candidate),
+                               np.asarray(s8.x_candidate), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(s1.x_incumbent),
+                               np.asarray(s8.x_incumbent), atol=1e-8)
+    assert int(s1.n_duals) == int(s8.n_duals)
+    assert int(jnp.sum(s1.cut_live)) == int(jnp.sum(s8.cut_live))
+
+
+def test_multi_epigraph_lands():
+    """Two epigraphs at weight 0.5 each (own scenario streams + cut pools)
+    still bracket the lands optimum: E[0.5 Q + 0.5 Q'] = E[Q]."""
+    require_instance("lands")
+    inst = load_instance("lands", dtype=jnp.float64)
+    espec = default_epigraph_spec(2, 0.5, 0.0, dtype=jnp.float64)
+    solver = SDSolver(inst, _CFG, espec=espec,
+                      x0=np.array([3.0, 3.0, 3.0, 3.0]), seed=9)
+    solver.run(250)
+    assert int(solver.state.n_scen[0]) == 250
+    assert int(solver.state.n_scen[1]) == 250
+    # each epigraph accumulated its own cuts
+    assert int(jnp.sum(solver.state.cut_live[0])) >= 1
+    assert int(jnp.sum(solver.state.cut_live[1])) >= 1
+    lb = solver.lower_estimate
+    ub = solver.evaluate(n_samples=4000)
+    assert lb < 381.8533 + 0.5
+    assert ub > 381.8533 - 0.5
+    assert abs(ub - 381.8533) < 6.0
+
+
+def test_weighted_epigraphs_unequal():
+    """Unequal weights w=[0.7, 0.3] with per-epigraph lower bounds — the
+    weighted generalization the reference documents (readme.md:5-7)."""
+    require_instance("lands")
+    inst = load_instance("lands", dtype=jnp.float64)
+    espec = default_epigraph_spec(2, [0.7, 0.3], [0.0, -100.0],
+                                  dtype=jnp.float64)
+    solver = SDSolver(inst, _CFG, espec=espec,
+                      x0=np.array([3.0, 3.0, 3.0, 3.0]), seed=13)
+    solver.run(250)
+    ub = solver.evaluate(n_samples=4000)
+    assert abs(ub - 381.8533) < 6.0
