@@ -63,22 +63,32 @@ def cmd_solve(args) -> int:
 
     logger = MetricsLogger(args.log)
     t0 = time.time()
+    # iterations run in on-device chunks; host work (logging, MC eval,
+    # checkpointing) happens at the coarsest compatible boundary
+    periods = [p for p in (args.log_every, args.eval_every,
+                           args.checkpoint_every) if p]
+    period = min(periods) if periods else args.iters
+    done = 0
     with trace(args.profile):
-        for i in range(args.iters):
-            stats = solver.step()
-            it = int(stats["it"])
-            if args.log_every and (i + 1) % args.log_every == 0:
-                rec = logger.log(stats)
-                print(f"iter {it}: lb_est={rec['cand_est']:.4f} "
-                      f"rho={rec['rho']:.4g} duals={rec['n_duals']} "
-                      f"cuts={rec['n_cuts_live']}", file=sys.stderr)
-            if args.eval_every and (i + 1) % args.eval_every == 0:
+        while done < args.iters:
+            n = min(period, args.iters - done)
+            last = solver.run(n, log_every=args.log_every or 0)
+            done += n
+            it = int(last["it"])
+            if args.log_every and done % args.log_every == 0:
+                rec = logger.log(last)
+                lb = rec.get("cand_est", float("nan"))
+                print(f"iter {it}: lb_est={lb:.4f} "
+                      f"rho={rec.get('rho', 0):.4g} "
+                      f"duals={rec.get('n_duals')} "
+                      f"cuts={rec.get('n_cuts_live')}", file=sys.stderr)
+            if args.eval_every and done % args.eval_every == 0:
                 ub = solver.evaluate(n_samples=args.eval_samples,
                                      seed=args.seed + it)
                 logger.log({"it": it, "mc_upper_bound": ub})
                 print(f"iter {it}: mc_ub={ub:.4f}", file=sys.stderr)
             if args.checkpoint and args.checkpoint_every and \
-                    (i + 1) % args.checkpoint_every == 0:
+                    done % args.checkpoint_every == 0:
                 save_state(args.checkpoint, solver.state, instance=inst.name)
     elapsed = time.time() - t0
 

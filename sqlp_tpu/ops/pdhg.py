@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -183,7 +183,8 @@ def _kkt_residuals(lp: PreparedLP, ht: jax.Array, Y: jax.Array, L: jax.Array):
 
 
 @partial(jax.jit, static_argnames=("config",))
-def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig()
+def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
+                Y0: Optional[jax.Array] = None, L0: Optional[jax.Array] = None
                 ) -> Tuple[jax.Array, jax.Array, jax.Array, dict]:
     """Solve the LP for a panel of right-hand sides.
 
@@ -191,6 +192,9 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig()
       lp: prepared stage LP.
       H: [B, m] raw right-hand sides in the *original* row senses.
       config: PDHG parameters (static).
+      Y0, L0: optional warm starts in ORIGINAL units (e.g. the previous SD
+        iteration's subproblem solutions — x moves slowly under the prox
+        term, so the old optimum is a near-feasible start).
 
     Returns:
       (obj [B], Y [B, n], Pi [B, m], stats) — Pi in the JuMP d(obj)/d(rhs)
@@ -282,13 +286,19 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig()
         return (Y2, L2, Yr2, Lr2, Yb, Lb, omega2, err_r2, err, err_best,
                 it + 1, done)
 
-    Y0 = jnp.clip(jnp.zeros((B, n), dtype), lb, ub)
-    L0 = jnp.zeros((B, m), dtype)
+    if Y0 is None:
+        Yi = jnp.clip(jnp.zeros((B, n), dtype), lb, ub)
+    else:
+        Yi = jnp.clip(Y0 / lp.col_scale[None, :], lb, ub)
+    if L0 is None:
+        Li = jnp.zeros((B, m), dtype)
+    else:
+        Li = _project_dual(L0 / (lp.row_scale * lp.flip)[None, :], lp.is_eq)
     omega0 = jnp.ones((B,), dtype)
     err0 = jnp.full((B,), jnp.inf, dtype)
     done0 = jnp.zeros((B,), bool)
 
-    carry = (Y0, L0, Y0, L0, Y0, L0, omega0, err0, err0, err0,
+    carry = (Yi, Li, Yi, Li, Yi, Li, omega0, err0, err0, err0,
              jnp.zeros((), jnp.int32), done0)
     (Y, L, Yr, Lr, Yb, Lb, omega, err_r, err_last, err, rounds,
      done) = jax.lax.while_loop(cond, round_step, carry)

@@ -129,7 +129,9 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
     # per-epigraph cand-then-inc sequence (algorithm.jl:49-54).
     H = jnp.stack([h_cand.reshape(E, B, m2), h_inc.reshape(E, B, m2)],
                   axis=1).reshape(2 * E * B, m2)
-    sub_obj, _, Pi, sub_stats = solve_batch(prep_sub, H, config.pdhg)
+    sub_obj, sub_Y, Pi, sub_stats = solve_batch(
+        prep_sub, H, config.pdhg,
+        Y0=state.sub_warm_Y, L0=state.sub_warm_L)
 
     duals, duals_rounded, n_duals, duals_dropped = push_duals(
         state.duals, state.duals_rounded, state.n_duals, Pi,
@@ -226,6 +228,8 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
         master_mu=mu,
         scen_dropped=state.scen_dropped + overflow,
         duals_dropped=duals_dropped,
+        sub_warm_Y=sub_Y,
+        sub_warm_L=Pi,
     )
 
     stats = {
@@ -242,3 +246,28 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
         **qp_stats,
     }
     return new_state, stats
+
+
+@partial(jax.jit, static_argnames=("config", "n_steps"))
+def sd_run(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
+           prep_sub: PreparedLP, state: SDState, config: SDConfig,
+           n_steps: int) -> Tuple[SDState, dict]:
+    """Run n_steps SD iterations fully on device.
+
+    The per-step host round trip dominates wall clock on a remote/tunneled
+    TPU (measured ~100x slower than the compute itself); chunking the loop
+    into one jit amortizes dispatch to one sync per chunk. Returns the final
+    state plus per-iteration scalar stats stacked along axis 0.
+    """
+    state1, stats1 = sd_step(arrays, model, espec, prep_sub, state, config)
+    acc = {k: jnp.zeros((n_steps,), v.dtype).at[0].set(v)
+           for k, v in stats1.items() if v.ndim == 0}
+
+    def body(i, carry):
+        state, acc = carry
+        state, stats = sd_step(arrays, model, espec, prep_sub, state, config)
+        acc = {k: acc[k].at[i].set(stats[k]) for k in acc}
+        return state, acc
+
+    state, acc = jax.lax.fori_loop(1, n_steps, body, (state1, acc))
+    return state, acc

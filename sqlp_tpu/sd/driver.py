@@ -60,19 +60,36 @@ class SDSolver:
         return stats
 
     def run(self, n_iters: int, log_every: int = 0,
-            callback: Optional[Callable[[int, Dict], None]] = None) -> Dict:
-        """Run n_iters iterations; returns the last stats (host scalars)."""
-        stats = {}
-        for i in range(n_iters):
-            stats = self.step()
-            if log_every and (i + 1) % log_every == 0:
-                host = {k: np.asarray(v) for k, v in stats.items()}
-                self.history.append(
-                    {k: v.item() for k, v in host.items() if v.ndim == 0})
-                if callback:
-                    callback(i + 1, host)
-        jax.block_until_ready(self.state.x_candidate)
-        return {k: np.asarray(v) for k, v in stats.items()}
+            callback: Optional[Callable[[int, Dict], None]] = None,
+            chunk: int = 64) -> Dict:
+        """Run n_iters iterations; returns the last iteration's stats.
+
+        Iterations execute in on-device chunks (sd_run) with ONE host sync
+        per chunk — per-step host round trips dominate wall clock on a
+        tunneled TPU. Per-iteration scalar stats for the whole run land in
+        ``self.history`` at ``log_every`` granularity.
+        """
+        from sqlp_tpu.sd.algorithm import sd_run
+
+        last: Dict = {}
+        done = 0
+        while done < n_iters:
+            n = min(chunk, n_iters - done)
+            self.state, acc = sd_run(
+                self.inst.arrays, self.inst.scenario_model, self.espec,
+                self.prep_sub, self.state, self.config, n)
+            acc = {k: np.asarray(v) for k, v in acc.items()}
+            done += n
+            if log_every:
+                for j in range(n):
+                    it = int(acc["it"][j])
+                    if it % log_every == 0:
+                        self.history.append(
+                            {k: acc[k][j].item() for k in acc})
+            last = {k: acc[k][-1] for k in acc}
+            if callback:
+                callback(done, last)
+        return last
 
     @property
     def x_incumbent(self) -> np.ndarray:

@@ -95,6 +95,12 @@ class SDState:
     master_z: jax.Array       # [n1+E] warm start
     master_mu: jax.Array      # [mA] warm start
 
+    # subproblem warm starts: previous iteration's PDHG solutions for the
+    # [E*(cand,inc)*B] panel (x moves slowly under the prox term, so these
+    # cut PDHG iteration counts dramatically at small B)
+    sub_warm_Y: jax.Array     # [2*E*B, n2]
+    sub_warm_L: jax.Array     # [2*E*B, m2]
+
     @property
     def n_epi(self) -> int:
         return int(self.cut_alpha.shape[0])
@@ -149,6 +155,8 @@ def init_state(inst: Instance, espec: EpigraphSpec, config: SDConfig,
         master_solved=jnp.asarray(False),
         master_z=f((n1 + E,)),
         master_mu=f((master_rows(n1, m1, E, K),)),
+        sub_warm_Y=f((2 * E * config.scenarios_per_iter, inst.n2)),
+        sub_warm_L=f((2 * E * config.scenarios_per_iter, m2)),
     )
 
 

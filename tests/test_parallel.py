@@ -21,7 +21,7 @@ from conftest import require_instance
 
 _CFG = SDConfig(
     dtype="float64",
-    max_scenarios=128, max_dual_vertices=64, max_cuts=16,
+    max_scenarios=256, max_dual_vertices=64, max_cuts=16,
     pdhg=PDHGConfig(tol=1e-8, max_iters=10_000),
     qp=QPConfig(tol=1e-9, max_iters=4_000),
 )
