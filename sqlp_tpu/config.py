@@ -32,6 +32,9 @@ class PDHGConfig:
     omega_smoothing: float = 0.5
     # Ruiz equilibration sweeps applied to W at instance-compile time.
     ruiz_iters: int = 10
+    # Fused VMEM-resident Pallas kernel for the inner PDHG round (TPU only;
+    # ignored on other backends).
+    use_pallas: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

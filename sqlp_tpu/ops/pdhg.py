@@ -200,9 +200,35 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
       (obj [B], Y [B, n], Pi [B, m], stats) — Pi in the JuMP d(obj)/d(rhs)
       convention on the original rows; obj/Y/Pi are unscaled.
     """
-    B, m = H.shape
+    B_orig, m = H.shape
     n = lp.n
     dtype = lp.K.dtype
+
+    # The fused Pallas round keeps K and the block iterates VMEM-resident
+    # across iterations (the XLA loop streams the panels through HBM every
+    # iteration and is bandwidth-bound). TPU-only; batch padded to the
+    # kernel block size with copies of row 0 (they converge and are cut off).
+    # Only worthwhile for large panels: small batches get padded to the
+    # kernel block (128) and the wasted rows cost more than the locality
+    # saves (measured at B=2: 89 it/s pallas vs 102 it/s XLA).
+    use_pallas = (bool(config.use_pallas)
+                  and jax.default_backend() == "tpu"
+                  and B_orig >= 512)
+    if use_pallas:
+        from sqlp_tpu.ops.pallas.pdhg_kernel import BLK, pdhg_round_pallas
+        B = ((B_orig + BLK - 1) // BLK) * BLK
+        if B != B_orig:
+            H = jnp.concatenate(
+                [H, jnp.broadcast_to(H[:1], (B - B_orig, m))], axis=0)
+            if Y0 is not None:
+                Y0 = jnp.concatenate(
+                    [Y0, jnp.broadcast_to(Y0[:1], (B - B_orig, n))], axis=0)
+            if L0 is not None:
+                L0 = jnp.concatenate(
+                    [L0, jnp.broadcast_to(L0[:1], (B - B_orig, m))], axis=0)
+    else:
+        B = B_orig
+
     ht = H * (lp.flip * lp.row_scale)[None, :]          # scaled, flipped rhs
 
     lb = jnp.where(jnp.isfinite(lp.lb), lp.lb, -_BIG)
@@ -219,6 +245,11 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
         """
         tau = (eta / omega)[:, None]
         sig = (eta * omega)[:, None]
+
+        if use_pallas:
+            return pdhg_round_pallas(
+                lp.K, lp.q, lb, ub, lp.is_eq, ht, tau[:, 0], sig[:, 0],
+                Y, L, config.restart_every)
 
         def body(_, carry):
             Y, L, Ys, Ls, cnt = carry
@@ -303,7 +334,11 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
     (Y, L, Yr, Lr, Yb, Lb, omega, err_r, err_last, err, rounds,
      done) = jax.lax.while_loop(cond, round_step, carry)
 
-    # Unscale back to the original problem.
+    # Cut off padding rows, unscale back to the original problem.
+    Yb = Yb[:B_orig]
+    Lb = Lb[:B_orig]
+    err = err[:B_orig]
+    done = done[:B_orig]
     Y_out = Yb * lp.col_scale[None, :]
     Pi_out = Lb * (lp.row_scale * lp.flip)[None, :]
     obj = _dot(Y_out, lp.q / lp.col_scale)
