@@ -150,7 +150,25 @@ def parse_bounds(tokens: list, col_names: Sequence[str]) -> tuple:
 
 
 def read_cor(cor_path: str) -> CorData:
-    """Read a cor file (smps_cor.jl:160-194)."""
+    """Read a cor file (smps_cor.jl:160-194).
+
+    Uses the native C++ parser (csrc/smps_cor.cpp) when available — the
+    framework's data loader for production-sized core files — and falls
+    back to the pure-Python path (SQLP_TPU_NATIVE=0 forces the fallback).
+    Both produce identical CorData (asserted in tests/test_native.py).
+    """
+    from sqlp_tpu.models.native import read_cor_native
+    try:
+        native = read_cor_native(cor_path)
+    except OSError:
+        native = None
+    if native is not None:
+        return native
+    return read_cor_py(cor_path)
+
+
+def read_cor_py(cor_path: str) -> CorData:
+    """Pure-Python cor parser (the behavioral port of record)."""
     with open(cor_path, "r") as f:
         tokens = tokenize_cor(f.read())
     problem_name = tokens["NAME"][0] if tokens["NAME"] else ""

@@ -55,17 +55,23 @@ def push_duals(duals: jax.Array, rounded: jax.Array, n: jax.Array,
         pr = round_sig_bits(pi, sig_bits)
         live = jnp.arange(D) < n
         dup = jnp.any(jnp.logical_and(live, jnp.all(rounded == pr[None, :], axis=1)))
-        can = jnp.logical_and(~dup, n < D)
-        overflow = jnp.logical_and(~dup, n >= D)
-        idx = jnp.minimum(n, D - 1)
+        append = jnp.logical_and(~dup, n < D)
+        # At capacity, ring-replace the oldest slot: duals found near the
+        # current iterates stay in the pool, stale vertices rotate out
+        # (the reference's pool is unbounded, dual_set.jl:84-93; plain
+        # dropping was observed to stall cut quality on ssn).
+        ring = jnp.logical_and(~dup, n >= D)
+        idx = jnp.where(append, jnp.minimum(n, D - 1),
+                        dropped % jnp.asarray(D, dropped.dtype))
+        write = jnp.logical_or(append, ring)
         old_d = jax.lax.dynamic_slice_in_dim(duals, idx, 1)
         old_r = jax.lax.dynamic_slice_in_dim(rounded, idx, 1)
         duals = jax.lax.dynamic_update_slice_in_dim(
-            duals, jnp.where(can, pi[None, :], old_d), idx, 0)
+            duals, jnp.where(write, pi[None, :], old_d), idx, 0)
         rounded = jax.lax.dynamic_update_slice_in_dim(
-            rounded, jnp.where(can, pr[None, :], old_r), idx, 0)
-        return (duals, rounded, n + can.astype(n.dtype),
-                dropped + overflow.astype(dropped.dtype)), None
+            rounded, jnp.where(write, pr[None, :], old_r), idx, 0)
+        return (duals, rounded, n + append.astype(n.dtype),
+                dropped + ring.astype(dropped.dtype)), None
 
     (duals, rounded, n, dropped), _ = jax.lax.scan(
         push_one, (duals, rounded, n, dropped), new_pis)

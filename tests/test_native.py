@@ -1,0 +1,38 @@
+"""Native (C++) SMPS parser parity with the pure-Python port of record."""
+
+import numpy as np
+import pytest
+
+from sqlp_tpu.models.native import get_lib, read_cor_native
+from sqlp_tpu.models.smps_cor import read_cor_py
+
+from conftest import require_instance
+
+
+@pytest.mark.parametrize("name", ["lands", "transship", "baa99-20",
+                                  "storm", "ssn"])
+def test_native_cor_parity(name):
+    path = require_instance(name) + f"/{name}.cor"
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    a = read_cor_native(path)
+    b = read_cor_py(path)
+    assert a.problem_name == b.problem_name
+    assert a.directions == b.directions
+    assert a.row_names == b.row_names
+    assert a.col_names == b.col_names
+    np.testing.assert_array_equal(a.template_matrix, b.template_matrix)
+    np.testing.assert_array_equal(a.rhs, b.rhs)
+    np.testing.assert_array_equal(a.lower_bound, b.lower_bound)
+    np.testing.assert_array_equal(a.upper_bound, b.upper_bound)
+    assert a.row_mapping == b.row_mapping
+    assert a.col_mapping == b.col_mapping
+
+
+def test_native_rejects_bad_file(tmp_path):
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    p = tmp_path / "bad.cor"
+    p.write_text("ROWS\n L  C1\nENDATA\n")  # first row not 'N'
+    with pytest.raises(AssertionError):
+        read_cor_native(str(p))

@@ -50,16 +50,21 @@ def test_dual_pool_dedup_semantics():
     assert int(dropped) == 0
 
 
-def test_dual_pool_capacity_drop():
+def test_dual_pool_capacity_ring_replace():
+    """At capacity, new distinct duals ring-replace the oldest slot."""
     duals = jnp.zeros((2, 3))
     rounded = jnp.zeros((2, 3))
     n = jnp.asarray(0, jnp.int32)
     dropped = jnp.asarray(0, jnp.int32)
-    batch = jnp.asarray([[1.0, 0, 0], [2.0, 0, 0], [3.0, 0, 0]])
+    batch = jnp.asarray([[1.0, 0, 0], [2.0, 0, 0], [3.0, 0, 0], [4.0, 0, 0]])
     duals, rounded, n, dropped = push_duals(duals, rounded, n, batch, dropped)
     assert int(n) == 2
-    assert int(dropped) == 1
-    np.testing.assert_allclose(np.asarray(duals)[:, 0], [1.0, 2.0])
+    assert int(dropped) == 2
+    np.testing.assert_allclose(np.asarray(duals)[:, 0], [3.0, 4.0])
+    # duplicates of current pool entries still dedup
+    duals, rounded, n, dropped = push_duals(
+        duals, rounded, n, jnp.asarray([[4.0, 0, 0]]), dropped)
+    assert int(dropped) == 2
 
 
 def test_round_sig_bits_julia_parity():
