@@ -101,6 +101,17 @@ def build_sasa_cut(arrays: InstanceArrays, model: ScenarioModel,
     return Cut(alpha=alpha, beta=beta)
 
 
+def eval_dual(arrays: InstanceArrays, model: ScenarioModel,
+              delta: jax.Array, x: jax.Array, pi: jax.Array) -> jax.Array:
+    """pi' ((r + dr) - (T + dT) x) for one scenario delta [R] — the dual
+    objective value the argmax maximizes (``eval_dual``,
+    src/sd_algorithm/subprob.jl:128-131; validated against the solver
+    objective in the reference's test/sd_test.jl:62-65)."""
+    eff = effective_rhs_deltas(model, delta[None, :], x)[0]     # [R]
+    base = arrays.r - _dot(arrays.T, x)
+    return _dot(pi, base) + _dot(pi[model.rv_row], eff)
+
+
 def evaluate_epigraph(cut_alpha: jax.Array, cut_beta: jax.Array,
                       cut_mark: jax.Array, cut_live: jax.Array,
                       inc_alpha: jax.Array, inc_beta: jax.Array,

@@ -32,6 +32,11 @@ from sqlp_tpu.sd.algorithm import _scenario_rhs, sd_step
 from sqlp_tpu.sd.state import EpigraphSpec, SDState, default_epigraph_spec, init_state
 from sqlp_tpu.models.scenario import sample_deltas
 
+try:
+    from math import erfinv as _erfinv  # Python 3.13+ (not in 3.12)
+except ImportError:
+    from scipy.special import erfinv as _erfinv
+
 
 class SDSolver:
     """Two-stage regularized SD solver on a compiled instance."""
@@ -80,6 +85,19 @@ class SDSolver:
                 self.prep_sub, self.state, self.config, n)
             acc = {k: np.asarray(v) for k, v in acc.items()}
             done += n
+            # Failure path (reference: master failure dumps
+            # error_model.mof.json and rethrows, algorithm.jl:104-110):
+            # a non-finite estimate means the state is poisoned — dump the
+            # full solver state for postmortem and stop.
+            if not np.all(np.isfinite(acc["cand_est"])):
+                from sqlp_tpu.utils.checkpoint import save_state
+                dump = os.path.abspath("error_state.npz")
+                save_state(dump, self.state, instance=self.inst.name)
+                bad = int(acc["it"][np.argmax(~np.isfinite(acc["cand_est"]))])
+                raise FloatingPointError(
+                    f"non-finite candidate estimate at iteration {bad}; "
+                    f"state dumped to {dump} (inspect with "
+                    f"sqlp_tpu.utils.checkpoint.load_state)")
             if log_every:
                 for j in range(n):
                     it = int(acc["it"][j])
@@ -125,6 +143,63 @@ class SDSolver:
             done += b
         first = float(jnp.dot(inst.arrays.c, x))
         return first + total / n_samples
+
+    def evaluate_ci(self, x=None, confidence: float = 0.95,
+                    target_half_width: float = 0.0,
+                    min_samples: int = 2048, max_samples: int = 262_144,
+                    seed: int = 123, batch: int = 4096):
+        """Monte-Carlo estimate with a confidence interval.
+
+        Samples in device batches until the CI half-width at ``confidence``
+        drops below ``target_half_width`` (or max_samples). The reference
+        flags exactly this as an open TODO (readme.md:20-21: N "should be
+        calculated to reflect the confidence level").
+
+        Returns (mean, half_width, n_samples).
+        """
+        import math
+
+        inst = self.inst
+        x = jnp.asarray(self.x_incumbent if x is None else x,
+                        self.config.jdtype)
+        # two-sided normal quantile via inverse erf
+        z = math.sqrt(2.0) * float(
+            np.real(_erfinv(confidence)))
+        key = jax.random.PRNGKey(seed)
+        n = 0
+        mean = 0.0
+        m2 = 0.0
+        while True:
+            b = min(batch, max_samples - n)
+            if b <= 0:
+                break
+            key, k = jax.random.split(key)
+            deltas = sample_deltas(k, inst.scenario_model, b)
+            from sqlp_tpu.sd.algorithm import _scenario_rhs
+            H = _scenario_rhs(inst.arrays, inst.scenario_model, deltas, x)
+            obj, _, _, _ = solve_batch(self.prep_sub, H, self.config.pdhg)
+            vals = np.asarray(obj, np.float64)
+            for v in (float(vals.mean()),):
+                # batched Welford merge
+                bn = len(vals)
+                bm = v
+                bm2 = float(((vals - bm) ** 2).sum())
+                delta = bm - mean
+                tot = n + bn
+                mean += delta * bn / tot
+                m2 += bm2 + delta * delta * n * bn / tot
+                n = tot
+            if n >= min_samples:
+                hw = z * math.sqrt(m2 / max(n - 1, 1) / n)
+                if target_half_width and hw <= target_half_width:
+                    break
+                if n >= max_samples:
+                    break
+                if not target_half_width:
+                    break
+        hw = z * math.sqrt(m2 / max(n - 1, 1) / n)
+        first = float(jnp.dot(inst.arrays.c, x))
+        return first + mean, hw, n
 
 
 def solve_instance(name_or_dir: str, n_iters: int = 1000,
