@@ -1,0 +1,93 @@
+"""Compromise decisions across SD replications.
+
+The reference planned this as a plugin and never implemented it
+(src/sd_algorithm/plugin/compromise.jl is 0 bytes). Following Sen & Liu,
+"Mitigating Uncertainty via Compromise Decisions in Two-stage Stochastic
+Linear Programming" (the standard SD aggregation): run R independent SD
+replications, then solve the compromise problem
+
+    min_x  c@x + (1/R) sum_r F_r(x) + rho/2 ||x - x_bar||^2
+
+where F_r is replication r's cut-pool model (its epigraph max) and x_bar
+the average of the replication incumbents. Here the compromise master is
+assembled by concatenating the replications' cut pools into one merged
+multi-epigraph state — exactly the machinery the per-iteration master uses
+— and solved by the on-device ADMM QP.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sqlp_tpu.config import QPConfig
+from sqlp_tpu.models.instance import Instance
+from sqlp_tpu.ops.prox_qp import solve_qp
+from sqlp_tpu.sd.master import assemble_master
+from sqlp_tpu.sd.state import EpigraphSpec, SDState
+
+
+def _merge_states(states: Sequence[SDState], especs: Sequence[EpigraphSpec],
+                  scale: float) -> Tuple[SDState, EpigraphSpec]:
+    """Concatenate replications' epigraphs into one state; weights scaled
+    by 1/R so the merged objective is the replication average."""
+    cat = lambda field: jnp.concatenate([getattr(s, field) for s in states],
+                                        axis=0)
+    merged = dataclasses.replace(
+        states[0],
+        cut_alpha=cat("cut_alpha"),
+        cut_beta=cat("cut_beta"),
+        cut_mark=cat("cut_mark"),
+        cut_live=cat("cut_live"),
+        cut_dual=cat("cut_dual"),
+        inc_alpha=cat("inc_alpha"),
+        inc_beta=cat("inc_beta"),
+        inc_valid=cat("inc_valid"),
+        total_weight=cat("total_weight"),
+    )
+    espec = EpigraphSpec(
+        obj_weight=jnp.concatenate(
+            [e.obj_weight * scale for e in especs]),
+        lower_bound=jnp.concatenate([e.lower_bound for e in especs]),
+    )
+    return merged, espec
+
+
+def compromise_decision(inst: Instance, states: Sequence[SDState],
+                        especs: Sequence[EpigraphSpec],
+                        rho: float = 1.0,
+                        qp_config: QPConfig = QPConfig()
+                        ) -> Tuple[np.ndarray, dict]:
+    """Solve the compromise problem over replication cut models.
+
+    Args:
+      inst: the (shared) instance.
+      states: final SDState per replication.
+      especs: per-replication epigraph specs.
+      rho: proximal weight toward the incumbent average.
+      qp_config: master QP parameters.
+
+    Returns: (x_compromise, info) with info holding the QP stats, the
+    incumbent average, and per-replication incumbents.
+    """
+    R = len(states)
+    assert R >= 1 and len(especs) == R
+    x_bar = jnp.mean(jnp.stack([s.x_incumbent for s in states]), axis=0)
+
+    merged, espec = _merge_states(states, especs, 1.0 / R)
+    merged = dataclasses.replace(merged, x_incumbent=x_bar)
+    rho_j = jnp.asarray(rho, inst.arrays.c.dtype)
+    p_diag, g, A, l, u, is_eq = assemble_master(
+        inst.arrays, espec, merged, rho_j)
+    z, mu, stats = solve_qp(p_diag, g, A, l, u, is_eq, qp_config)
+    x = np.asarray(z[: inst.n1])
+    info = {
+        "x_bar": np.asarray(x_bar),
+        "incumbents": [np.asarray(s.x_incumbent) for s in states],
+        **{k: np.asarray(v) for k, v in stats.items()},
+    }
+    return x, info

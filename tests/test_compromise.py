@@ -1,0 +1,44 @@
+"""Compromise decision across SD replications (sd/compromise.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sqlp_tpu.config import PDHGConfig, QPConfig, SDConfig
+from sqlp_tpu.models.instance import load_instance
+from sqlp_tpu.sd.compromise import compromise_decision
+from sqlp_tpu.sd.driver import SDSolver
+
+from conftest import require_instance
+
+_CFG = SDConfig(
+    dtype="float64",
+    max_scenarios=256, max_dual_vertices=64, max_cuts=16,
+    pdhg=PDHGConfig(tol=1e-8, max_iters=10_000),
+    qp=QPConfig(tol=1e-9, max_iters=4_000),
+)
+
+
+def test_lands_compromise():
+    require_instance("lands")
+    inst = load_instance("lands", dtype=jnp.float64)
+    solvers = []
+    for seed in (1, 2, 3):
+        s = SDSolver(inst, _CFG, x0=np.array([3.0, 3.0, 3.0, 3.0]),
+                     seed=seed)
+        s.run(150)
+        solvers.append(s)
+    x, info = compromise_decision(
+        inst, [s.state for s in solvers], [s.espec for s in solvers],
+        rho=1.0, qp_config=QPConfig(tol=1e-9, max_iters=8_000))
+    assert bool(info["qp_converged"])
+    # compromise x is stage-1 feasible and near-optimal under the exact
+    # 3-scenario expectation
+    from sqlp_tpu.models.routines import solve_problem
+    from sqlp_tpu.models.smps_tim import Position
+    cost = float(np.asarray(inst.arrays.c) @ x)
+    for v, p in zip([3.0, 5.0, 7.0], [0.3, 0.4, 0.3]):
+        obj, _, _ = solve_problem(inst.sp2, x, [(Position("RHS", "S2C5"), v)])
+        cost += p * obj
+    assert abs(cost - 381.8533333) < 3.0
+    lb = np.asarray(inst.arrays.lb1)
+    assert np.all(x >= lb - 1e-6)
