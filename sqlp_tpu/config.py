@@ -91,6 +91,12 @@ class SDConfig:
 
     # --- numerics ---
     dtype: str = "float32"
+    # Solve with objective coefficients normalized to O(1) (c, q divided by
+    # max(1, max|c|, max|q|); prox weights rescaled to match). Fixes the
+    # master's mixed-scale conditioning on instances like storm (|c| to
+    # 4e5 drives cut coefficients to 1e7 against O(100) x bounds, beyond
+    # what f32 ADMM can terminate on). All driver outputs are unscaled.
+    normalize_objective: bool = True
 
     # --- nested kernel configs ---
     pdhg: PDHGConfig = dataclasses.field(default_factory=PDHGConfig)

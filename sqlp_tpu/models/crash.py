@@ -66,6 +66,13 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
     m1, n1 = arrays.A1.shape
     m2, n2 = arrays.W.shape
 
+    # objective normalization (conditioning; see SDConfig.normalize_objective)
+    obj_s = jnp.maximum(1.0, jnp.maximum(
+        jnp.max(jnp.abs(arrays.c), initial=0.0),
+        jnp.max(jnp.abs(arrays.q), initial=0.0)))
+    arrays = dataclasses.replace(arrays, c=arrays.c / obj_s,
+                                 q=arrays.q / obj_s)
+
     f1, A1f = _flip(arrays.senses1, arrays.A1, dtype)
     f2, Wf = _flip(arrays.senses2, arrays.W, dtype)
     _, Tf = _flip(arrays.senses2, arrays.T, dtype)
@@ -238,7 +245,7 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
     out = jax.lax.while_loop(cond, round_step, c0)
     x, Y, u0, U, xb, Yb, omega, err_r, err_last, rounds, err_best = out
 
-    obj = _dot(arrays.c, xb) + jnp.sum(qS * Yb)
+    obj = (_dot(arrays.c, xb) + jnp.sum(qS * Yb)) * obj_s
     stats = {"ef_iters": rounds * config.restart_every,
              "ef_err": err_best,
              "ef_converged": err_best <= config.tol}

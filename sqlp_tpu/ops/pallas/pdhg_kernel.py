@@ -74,8 +74,10 @@ def _kernel(n_inner: int,
 
     Y0 = Y_ref[:]
     L0 = L_ref[:]
+    # int32 bounds: under an x64-enabled runtime python ints trace as i64,
+    # which Mosaic cannot legalize ("failed to legalize func.return (i64)")
     Y, L, Ys, Ls = jax.lax.fori_loop(
-        0, n_inner, body,
+        jnp.int32(0), jnp.int32(n_inner), body,
         (Y0, L0, jnp.zeros_like(Y0), jnp.zeros_like(L0)))
     Yout_ref[:] = Y
     Lout_ref[:] = L
@@ -114,7 +116,7 @@ def pdhg_round_pallas(K, q, lb, ub, is_eq, ht, tau, sig, Y, L,
     full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
 
-    out = pl.pallas_call(
+    call = pl.pallas_call(
         partial(_kernel, n_inner),
         grid=grid,
         in_specs=[
@@ -141,5 +143,10 @@ def pdhg_round_pallas(K, q, lb, ub, is_eq, ht, tau, sig, Y, L,
             bytes_accessed=(m * n + 2 * B * (m + n)) * 4,
             transcendentals=0,
         ),
-    )(K, q2, lb2, ub2, eq2, ht, tau2, sig2, Y, L)
+    )
+    # Trace with 32-bit index types even when the surrounding program has
+    # x64 enabled (the f64 master path): Mosaic cannot legalize i64 index
+    # computations ("failed to legalize func.return (i64, i64)").
+    with jax.enable_x64(False):
+        out = call(K, q2, lb2, ub2, eq2, ht, tau2, sig2, Y, L)
     return tuple(out)

@@ -179,7 +179,10 @@ def _kkt_residuals(lp: PreparedLP, ht: jax.Array, Y: jax.Array, L: jax.Array):
             + _dot(gpos, lb_term) - _dot(gneg, ub_term))
     gap = jnp.abs(pobj - dobj) / (1.0 + jnp.abs(pobj) + jnp.abs(dobj))
 
-    return jnp.maximum(jnp.maximum(pres, dres), gap), pobj
+    err = jnp.maximum(jnp.maximum(pres, dres), gap)
+    # pin the carry dtype: under an x64-enabled runtime some reductions
+    # promote to f64, which breaks while_loop carry typing
+    return err.astype(lp.K.dtype), pobj.astype(lp.K.dtype)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -203,6 +206,9 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
     B_orig, m = H.shape
     n = lp.n
     dtype = lp.K.dtype
+    # under an x64-enabled runtime callers easily produce f64 panels
+    # (e.g. jnp.zeros defaults to f64); the kernel dtype is lp's
+    H = H.astype(dtype)
 
     # The fused Pallas round keeps K and the block iterates VMEM-resident
     # across iterations (the XLA loop streams the panels through HBM every
@@ -349,5 +355,10 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
         "pdhg_err_max": jnp.max(err),
         "pdhg_converged": jnp.all(done),
         "pdhg_omega": jnp.mean(omega),
+        # per-element convergence: consumers must not trust duals of
+        # unconverged elements (SD cut validity depends on epsilon-feasible
+        # duals; a diverged element usually means an infeasible scenario LP)
+        "pdhg_done": done,
+        "pdhg_err": err,
     }
     return obj, Y_out, Pi_out, stats

@@ -46,6 +46,35 @@ def _dot(a, b):
     return jnp.matmul(a, b, precision=_PREC)
 
 
+def _pcg(M: jax.Array, b: jax.Array, x0: jax.Array, iters: int) -> jax.Array:
+    """Jacobi-preconditioned CG for SPD M (dense, small).
+
+    Factor-free on purpose: emulated-f64 Cholesky/triangular-solve inside a
+    fori_loop crashes the TPU worker (observed on storm-size masters);
+    CG uses only matvecs, which lower everywhere. Warm starts make the
+    fixed iteration count cheap in the ADMM setting.
+    """
+    dinv = 1.0 / jnp.diag(M)
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        Mp = _dot(M, p)
+        denom = jnp.dot(p, Mp)
+        alpha = jnp.where(denom > 0, rz / jnp.maximum(denom, 1e-300), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Mp
+        z = dinv * r
+        rz_new = jnp.dot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-300)
+        return x, r, z + beta * p, rz_new
+
+    r0 = b - _dot(M, x0)
+    z0 = dinv * r0
+    x, r, p, rz = jax.lax.fori_loop(
+        0, iters, body, (x0, r0, z0, jnp.dot(r0, z0)))
+    return x
+
+
 @partial(jax.jit, static_argnames=("config",))
 def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
              l: jax.Array, u: jax.Array, is_eq: jax.Array,
@@ -68,7 +97,25 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
       (z, mu, stats).
     """
     mA, nz = A.shape
-    dtype = A.dtype
+    out_dtype = A.dtype
+    # The master is tiny but can be badly scale-mixed (storm: cut rows ~1e7
+    # vs x bounds ~1e2) — f32 ADMM cannot reach per-row feasibility there.
+    # Compute in f64 whenever the runtime allows it (TPU f64 emulation is
+    # cheap at these sizes); inputs/outputs stay in the caller's dtype.
+    # NOT on TPU by default: emulated-f64 in the chunked SD loop faults the
+    # TPU worker at storm-size masters (kernel bug; reproduced with both
+    # Cholesky and CG z-updates). SQLP_QP_F64=1 forces it on anyway.
+    import os as _os
+    _f64_default = "0" if jax.default_backend() == "tpu" else "1"
+    if (jax.config.jax_enable_x64 and out_dtype != jnp.float64
+            and _os.environ.get("SQLP_QP_F64", _f64_default) != "0"):
+        dtype = jnp.dtype(jnp.float64)
+        f = lambda a: jnp.asarray(a, dtype)
+        p_diag, g, A, l, u = map(f, (p_diag, g, A, l, u))
+        z0 = None if z0 is None else f(z0)
+        mu0 = None if mu0 is None else f(mu0)
+    else:
+        dtype = out_dtype
     # f32 Cholesky round-off floors the achievable residual near 5e-5; an
     # unreachable tolerance would silently mark every master solve failed,
     # which disables the reference's cut pruning (algorithm.jl:57) and lets
@@ -115,12 +162,12 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
     def factor(rho_s):
         rho_vec = jnp.where(is_eq, rho_s * config.rho_eq_scale, rho_s)
         M = jnp.diag(p_s + sig) + _dot(As.T * rho_vec[None, :], As)
-        return rho_vec, jnp.linalg.cholesky(M)
+        return rho_vec, M
 
-    def one_step(carry, rho_vec, chol):
+    def one_step(carry, rho_vec, M):
         z, zeta, mu = carry
         rhs = sig * z - g_s + _dot(As.T, rho_vec * zeta - mu)
-        z1 = jax.scipy.linalg.cho_solve((chol, True), rhs)
+        z1 = _pcg(M, rhs, z, 25)
         Az = _dot(As, z1)
         v = alpha * Az + (1.0 - alpha) * zeta
         zeta1 = jnp.clip(v + mu / rho_vec, lc, uc)
@@ -128,20 +175,21 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
         return z1, zeta1, mu1
 
     def residuals(z, zeta, mu):
-        """Relative primal/dual residuals in the ORIGINAL problem."""
+        """PER-ROW relative primal / per-component dual residuals in the
+        ORIGINAL problem. A single global scale lets the dominant rows
+        (storm cut rows ~1e7) mask multi-unit violations of small-scale
+        rows (x bounds ~1e2), which poisoned the SD candidate."""
         zo = dc * z
         muo = (dr / cost_s) * mu
         Az = _dot(A, zo)
         zetao = zeta / dr
-        pres = jnp.max(jnp.abs(Az - zetao))
-        pscale = 1.0 + jnp.maximum(jnp.max(jnp.abs(Az)),
-                                   jnp.max(jnp.abs(zetao)))
+        pscale = 1.0 + jnp.maximum(jnp.abs(Az), jnp.abs(zetao))
+        pres = jnp.max(jnp.abs(Az - zetao) / pscale)
         grad = p_diag * zo + g
         Atmu = _dot(A.T, muo)
-        dres = jnp.max(jnp.abs(grad + Atmu))
-        dscale = 1.0 + jnp.maximum(jnp.max(jnp.abs(grad)),
-                                   jnp.max(jnp.abs(Atmu)))
-        return pres / pscale, dres / dscale
+        dscale = 1.0 + jnp.maximum(jnp.abs(grad), jnp.abs(Atmu))
+        dres = jnp.max(jnp.abs(grad + Atmu) / dscale)
+        return pres, dres
 
     def cond(carry):
         it, err = carry[3], carry[4]
@@ -149,10 +197,10 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
 
     def round_step(carry):
         z, zeta, mu, it, _, rho_s = carry
-        rho_vec, chol = factor(rho_s)
+        rho_vec, M = factor(rho_s)
         z, zeta, mu = jax.lax.fori_loop(
             0, config.check_every,
-            lambda _, c: one_step(c, rho_vec, chol), (z, zeta, mu))
+            lambda _, c: one_step(c, rho_vec, M), (z, zeta, mu))
         pres, dres = residuals(z, zeta, mu)
         err = jnp.maximum(pres, dres)
         # OSQP rho adaptation: rebalance the penalty toward the lagging
@@ -171,9 +219,63 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
     z, zeta, mu, rounds, err, rho_s = jax.lax.while_loop(
         cond, round_step, init)
 
+    # ---- OSQP-style polish: the ADMM termination test is relative to the
+    # largest row scale, so on mixed-scale masters (storm: cut rows ~1e7,
+    # x-bound rows ~1e2) "converged" can hide multi-unit bound violations.
+    # Solve the active-set KKT system exactly (one dense solve; inactive
+    # rows decouple through a masked regularized saddle system) and keep
+    # the polished point if its true KKT error is smaller.
+    # relative threshold only: mu lives in scaled units (cost scaling can
+    # put max|mu| near 1e-2, where any absolute floor swamps the signal)
+    act_eps = 1e-4 * jnp.max(jnp.abs(mu)) + 1e-30
+    active = jnp.abs(mu) > act_eps
+    b_act = jnp.where(mu < 0, lc, uc)
+    usable = jnp.logical_and(active, jnp.abs(b_act) < 1e29)
+    w = usable.astype(dtype)
+    delta = jnp.asarray(1e-8 if dtype == jnp.float64 else 1e-5, dtype)
+    # SPD Schur-complement solve of the masked saddle system (avoids LU,
+    # which the TPU f64 path does not lower): with Pt = diag(p_s) + delta,
+    #   (A_w Pt^-1 A_w' + delta I) nu = A_w Pt^-1 (-g_s) - w b_act
+    #   z = Pt^-1 (-g_s - A_w' nu)
+    # inactive rows decouple to nu_i = 0.
+    pt_inv = 1.0 / (p_s + delta)
+    Aw = As * w[:, None]
+    S = _dot(Aw * pt_inv[None, :], Aw.T) + delta * jnp.eye(mA, dtype=dtype)
+    rhs = _dot(Aw, pt_inv * (-g_s)) - w * b_act
+    nu = _pcg(S, rhs, mu, 200)
+    nu = nu * w
+    z_pol = pt_inv * (-g_s - _dot(Aw.T, nu))
+    mu_pol = nu
+
+    def kkt_err(zs, mus):
+        zo = dc * zs
+        muo = (dr / cost_s) * mus
+        Az = _dot(A, zo)
+        pviol = jnp.maximum(jnp.maximum(
+            jnp.where(jnp.isfinite(l), l - Az, 0.0),
+            jnp.where(jnp.isfinite(u), Az - u, 0.0)), 0.0)
+        pres = jnp.max(pviol / (1.0 + jnp.abs(Az)))
+        grad = p_diag * zo + g
+        dres = jnp.max(jnp.abs(grad + _dot(A.T, muo))
+                       / (1.0 + jnp.abs(grad)))
+        return jnp.maximum(pres, dres)
+
+    err_admm = kkt_err(z, mu)
+    err_pol = kkt_err(z_pol, mu_pol)
+    finite = jnp.logical_and(jnp.all(jnp.isfinite(z_pol)),
+                             jnp.all(jnp.isfinite(nu)))
+    take = jnp.logical_and(finite, err_pol < err_admm)
+    z = jnp.where(take, z_pol, z)
+    mu = jnp.where(take, mu_pol, mu)
+    err_final = jnp.minimum(err_pol, err_admm)
+
     stats = {
         "qp_iters": rounds * config.check_every,
-        "qp_err": err,
-        "qp_converged": err <= eff_tol,
+        # stats stay in the caller's dtype: an f64 scalar leaking into the
+        # sd_run accumulator creates f64 scatters inside the outer loop
+        "qp_err": err_final.astype(out_dtype),
+        "qp_polished": take,
+        "qp_converged": jnp.logical_or(err <= eff_tol, err_final <= eff_tol),
     }
-    return dc * z, (dr / cost_s) * mu, stats
+    return ((dc * z).astype(out_dtype),
+            ((dr / cost_s) * mu).astype(out_dtype), stats)

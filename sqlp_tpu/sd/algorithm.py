@@ -135,12 +135,20 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
 
     duals, duals_rounded, n_duals, duals_dropped = push_duals(
         state.duals, state.duals_rounded, state.n_duals, Pi,
-        state.duals_dropped, config.dual_sig_bits)
+        state.duals_dropped, config.dual_sig_bits,
+        valid=sub_stats["pdhg_done"])
 
-    # ---- 4. prune near-zero-dual cuts (algorithm.jl:57-69)
+    # ---- 4. prune near-zero-dual cuts (algorithm.jl:57-69). The
+    # reference's threshold is absolute (1e-3 on exact CPLEX duals); ours
+    # is max(absolute, relative-to-largest-multiplier) so it stays
+    # meaningful under objective normalization and f32 dual noise.
+    mu_scale = jnp.max(jnp.where(state.cut_live,
+                                 jnp.abs(state.cut_dual), 0.0),
+                       initial=0.0)
+    prune_tol = jnp.maximum(config.cut_remove_tolerance, 1e-3 * mu_scale)
     prune = jnp.logical_and(
         state.master_solved,
-        jnp.abs(state.cut_dual) < config.cut_remove_tolerance)
+        jnp.abs(state.cut_dual) < prune_tol)
     cut_live = jnp.logical_and(state.cut_live, ~prune)
 
     # state with scenarios appended + cuts pruned, before new cuts: this is
@@ -214,7 +222,10 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
     p_diag, g, A, l, u, is_eq = assemble_master(arrays, espec, state_now, rho)
     z, mu, qp_stats = solve_qp(p_diag, g, A, l, u, is_eq, config.qp,
                                z0=state.master_z, mu0=state.master_mu)
-    x_candidate = z[:n1]
+    # ADMM converges in a relative sense; clip residual bound violations so
+    # the candidate is always box-feasible (a slightly-negative component
+    # made storm's recourse infeasible and poisoned the dual pool).
+    x_candidate = jnp.clip(z[:n1], arrays.lb1, arrays.ub1)
     cut_dual = cut_dual_slice(mu, m1, n1, E, K)
 
     new_state = _dc.replace(

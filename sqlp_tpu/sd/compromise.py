@@ -60,7 +60,8 @@ def _merge_states(states: Sequence[SDState], especs: Sequence[EpigraphSpec],
 def compromise_decision(inst: Instance, states: Sequence[SDState],
                         especs: Sequence[EpigraphSpec],
                         rho: float = 1.0,
-                        qp_config: QPConfig = QPConfig()
+                        qp_config: QPConfig = QPConfig(),
+                        obj_scale: float = 1.0
                         ) -> Tuple[np.ndarray, dict]:
     """Solve the compromise problem over replication cut models.
 
@@ -68,8 +69,10 @@ def compromise_decision(inst: Instance, states: Sequence[SDState],
       inst: the (shared) instance.
       states: final SDState per replication.
       especs: per-replication epigraph specs.
-      rho: proximal weight toward the incumbent average.
+      rho: proximal weight toward the incumbent average (user units).
       qp_config: master QP parameters.
+      obj_scale: the replications' SDSolver.obj_scale when objective
+        normalization was active (their cut pools live in scaled units).
 
     Returns: (x_compromise, info) with info holding the QP stats, the
     incumbent average, and per-replication incumbents.
@@ -78,11 +81,16 @@ def compromise_decision(inst: Instance, states: Sequence[SDState],
     assert R >= 1 and len(especs) == R
     x_bar = jnp.mean(jnp.stack([s.x_incumbent for s in states]), axis=0)
 
+    arrays = inst.arrays
+    if obj_scale != 1.0:
+        arrays = dataclasses.replace(
+            arrays, c=arrays.c / obj_scale, q=arrays.q / obj_scale)
+        rho = rho / obj_scale
     merged, espec = _merge_states(states, especs, 1.0 / R)
     merged = dataclasses.replace(merged, x_incumbent=x_bar)
-    rho_j = jnp.asarray(rho, inst.arrays.c.dtype)
+    rho_j = jnp.asarray(rho, arrays.c.dtype)
     p_diag, g, A, l, u, is_eq = assemble_master(
-        inst.arrays, espec, merged, rho_j)
+        arrays, espec, merged, rho_j)
     z, mu, stats = solve_qp(p_diag, g, A, l, u, is_eq, qp_config)
     x = np.asarray(z[: inst.n1])
     info = {

@@ -24,6 +24,10 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("SQLP_TPU_COMPILE_CACHE",
                                  os.path.expanduser("~/.cache/sqlp_tpu_xla")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# x64 enables the f64 master-QP path inside solve_qp (storm-scale masters
+# are not solvable to per-row feasibility in f32); all other state keeps
+# the configured dtype — literals stay weakly typed under JAX promotion.
+jax.config.update("jax_enable_x64", True)
 
 from sqlp_tpu.config import SDConfig
 from sqlp_tpu.models.instance import Instance, load_instance
@@ -41,28 +45,65 @@ except ImportError:
 class SDSolver:
     """Two-stage regularized SD solver on a compiled instance."""
 
+    # stats keys expressed in (scaled) objective units — unscaled on read
+    _OBJ_KEYS = ("cand_est", "inc_est", "req_improvement", "sub_obj_mean",
+                 "rho")
+
     def __init__(self, inst: Instance, config: SDConfig = SDConfig(),
                  espec: Optional[EpigraphSpec] = None,
                  x0=None, seed: int = 0):
         self.inst = inst
-        self.config = config
         self.espec = espec if espec is not None else default_epigraph_spec(
             1, 1.0, 0.0, dtype=config.jdtype)
+
+        # Objective normalization: run the whole algorithm in units of
+        # cost/s. x is never scaled; every objective-unit output (estimates,
+        # evaluations, rho) is rescaled by s at this driver boundary.
+        s = 1.0
+        if config.normalize_objective:
+            s = float(max(1.0,
+                          np.abs(np.asarray(inst.arrays.c)).max(initial=0.0),
+                          np.abs(np.asarray(inst.arrays.q)).max(initial=0.0)))
+        self.obj_scale = s
+        arrays = inst.arrays
+        if s != 1.0:
+            arrays = dataclasses.replace(
+                arrays, c=arrays.c / s, q=arrays.q / s)
+            config = config.replace(
+                quad_scalar_init=config.quad_scalar_init / s,
+                quad_min=config.quad_min / s,
+                quad_max=config.quad_max / s,
+                # master duals are d(obj)/d(rhs): objective units too —
+                # an unscaled prune threshold would prune every cut
+                cut_remove_tolerance=config.cut_remove_tolerance / s)
+        self.arrays = arrays
+        self.config = config
+
         self.prep_sub = prepare_lp(
-            inst.arrays.W, inst.arrays.senses2, inst.arrays.q,
-            inst.arrays.lb2, inst.arrays.ub2, ruiz_iters=config.pdhg.ruiz_iters)
+            arrays.W, arrays.senses2, arrays.q,
+            arrays.lb2, arrays.ub2, ruiz_iters=config.pdhg.ruiz_iters)
         if x0 is None:
             x0 = np.zeros(inst.n1)
         self.state: SDState = init_state(
             inst, self.espec, config, x0, jax.random.PRNGKey(seed))
         self.history: List[Dict] = []
 
+    def _unscale(self, stats: Dict) -> Dict:
+        if self.obj_scale == 1.0:
+            return stats
+        out = dict(stats)
+        for k in self._OBJ_KEYS:
+            if k in out:
+                out[k] = out[k] * self.obj_scale
+        return out
+
     def step(self) -> Dict:
-        """One SD iteration; returns host-side stats dict."""
+        """One SD iteration; returns host-side stats dict (objective-unit
+        entries unscaled)."""
         self.state, stats = sd_step(
-            self.inst.arrays, self.inst.scenario_model, self.espec,
+            self.arrays, self.inst.scenario_model, self.espec,
             self.prep_sub, self.state, self.config)
-        return stats
+        return self._unscale(stats)
 
     def run(self, n_iters: int, log_every: int = 0,
             callback: Optional[Callable[[int, Dict], None]] = None,
@@ -81,9 +122,9 @@ class SDSolver:
         while done < n_iters:
             n = min(chunk, n_iters - done)
             self.state, acc = sd_run(
-                self.inst.arrays, self.inst.scenario_model, self.espec,
+                self.arrays, self.inst.scenario_model, self.espec,
                 self.prep_sub, self.state, self.config, n)
-            acc = {k: np.asarray(v) for k, v in acc.items()}
+            acc = self._unscale({k: np.asarray(v) for k, v in acc.items()})
             done += n
             # Failure path (reference: master failure dumps
             # error_model.mof.json and rethrows, algorithm.jl:104-110):
@@ -121,7 +162,7 @@ class SDSolver:
     def lower_estimate(self) -> float:
         """Candidate objective estimate under current cuts — the lb proxy the
         reference drivers print (sd_single_cut_test.jl:71-77)."""
-        return float(self.state.cand_est)
+        return float(self.state.cand_est) * self.obj_scale
 
     def evaluate(self, x=None, n_samples: int = 10_000, seed: int = 123,
                  batch: int = 4096) -> float:
@@ -137,12 +178,12 @@ class SDSolver:
             b = min(batch, n_samples - done)
             key, k = jax.random.split(key)
             deltas = sample_deltas(k, inst.scenario_model, b)
-            H = _scenario_rhs(inst.arrays, inst.scenario_model, deltas, x)
+            H = _scenario_rhs(self.arrays, inst.scenario_model, deltas, x)
             obj, _, _, stats = solve_batch(self.prep_sub, H, self.config.pdhg)
             total += float(jnp.sum(obj))
             done += b
-        first = float(jnp.dot(inst.arrays.c, x))
-        return first + total / n_samples
+        first = float(jnp.dot(self.arrays.c, x))
+        return (first + total / n_samples) * self.obj_scale
 
     def evaluate_ci(self, x=None, confidence: float = 0.95,
                     target_half_width: float = 0.0,
@@ -176,7 +217,7 @@ class SDSolver:
             key, k = jax.random.split(key)
             deltas = sample_deltas(k, inst.scenario_model, b)
             from sqlp_tpu.sd.algorithm import _scenario_rhs
-            H = _scenario_rhs(inst.arrays, inst.scenario_model, deltas, x)
+            H = _scenario_rhs(self.arrays, inst.scenario_model, deltas, x)
             obj, _, _, _ = solve_batch(self.prep_sub, H, self.config.pdhg)
             vals = np.asarray(obj, np.float64)
             for v in (float(vals.mean()),):
@@ -198,8 +239,9 @@ class SDSolver:
                 if not target_half_width:
                     break
         hw = z * math.sqrt(m2 / max(n - 1, 1) / n)
-        first = float(jnp.dot(inst.arrays.c, x))
-        return first + mean, hw, n
+        first = float(jnp.dot(self.arrays.c, x))
+        s_ = self.obj_scale
+        return (first + mean) * s_, hw * s_, n
 
 
 def solve_instance(name_or_dir: str, n_iters: int = 1000,

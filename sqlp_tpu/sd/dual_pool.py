@@ -36,7 +36,8 @@ def round_sig_bits(x: jax.Array, bits: int = 16) -> jax.Array:
 
 
 def push_duals(duals: jax.Array, rounded: jax.Array, n: jax.Array,
-               new_pis: jax.Array, dropped: jax.Array, sig_bits: int = 16
+               new_pis: jax.Array, dropped: jax.Array, sig_bits: int = 16,
+               valid=None
                ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Push a batch of dual vectors into the pool with dedup.
 
@@ -45,16 +46,25 @@ def push_duals(duals: jax.Array, rounded: jax.Array, n: jax.Array,
       new_pis: [P, m2] candidates, pushed in order (order matters for parity
         with the reference's sequential push!, algorithm.jl:50-54).
       dropped: int32 counter of capacity drops.
+      valid: optional [P] bool — False entries are skipped (unconverged
+        subproblem duals must not enter the pool; an invalid dual breaks
+        cut validity).
 
     Returns: (duals, rounded, n, dropped).
     """
     D = duals.shape[0]
+    if valid is None:
+        valid = jnp.ones((new_pis.shape[0],), bool)
 
-    def push_one(carry, pi):
+    def push_one(carry, x):
+        pi, ok = x
         duals, rounded, n, dropped = carry
         pr = round_sig_bits(pi, sig_bits)
         live = jnp.arange(D) < n
-        dup = jnp.any(jnp.logical_and(live, jnp.all(rounded == pr[None, :], axis=1)))
+        dup = jnp.logical_or(
+            ~ok,
+            jnp.any(jnp.logical_and(live,
+                                    jnp.all(rounded == pr[None, :], axis=1))))
         append = jnp.logical_and(~dup, n < D)
         # At capacity, ring-replace the oldest slot: duals found near the
         # current iterates stay in the pool, stale vertices rotate out
@@ -74,5 +84,5 @@ def push_duals(duals: jax.Array, rounded: jax.Array, n: jax.Array,
                 dropped + ring.astype(dropped.dtype)), None
 
     (duals, rounded, n, dropped), _ = jax.lax.scan(
-        push_one, (duals, rounded, n, dropped), new_pis)
+        push_one, (duals, rounded, n, dropped), (new_pis, valid))
     return duals, rounded, n, dropped

@@ -33,8 +33,8 @@ def test_lands_extensive_form_golden():
     b1 = np.asarray(inst.arrays.b1)
     s1 = np.asarray(inst.arrays.senses1)
     lhs = A1 @ x
-    assert np.all(lhs[s1 == 1] >= b1[s1 == 1] - 1e-6)
-    assert np.all(lhs[s1 == -1] <= b1[s1 == -1] + 1e-6)
+    assert np.all(lhs[s1 == 1] >= b1[s1 == 1] - 1e-4)
+    assert np.all(lhs[s1 == -1] <= b1[s1 == -1] + 1e-4)
 
 
 def test_crash_x0_feasible_start():
