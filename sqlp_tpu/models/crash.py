@@ -73,6 +73,45 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
     arrays = dataclasses.replace(arrays, c=arrays.c / obj_s,
                                  q=arrays.q / obj_s)
 
+    # --- joint Ruiz equilibration of the structured constraint operator
+    # [[A1, 0], [T, W]]: row scales r1/r2, col scales cx/cy. Without this
+    # the EF stalls on badly-row-scaled instances (storm: ef_err ~5e2).
+    def equi_body(_, carry):
+        A1, T, W, r1, r2, cx, cy = carry
+        s1 = jnp.sqrt(jnp.maximum(
+            jnp.max(jnp.abs(A1), axis=1, initial=0.0), 1e-30))
+        s1 = jnp.where(s1 > 1e-12, s1, 1.0)
+        s2 = jnp.sqrt(jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(T), axis=1, initial=0.0),
+                        jnp.max(jnp.abs(W), axis=1, initial=0.0)), 1e-30))
+        s2 = jnp.where(s2 > 1e-12, s2, 1.0)
+        A1 = A1 / s1[:, None]
+        T = T / s2[:, None]
+        W = W / s2[:, None]
+        gx = jnp.sqrt(jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(A1), axis=0, initial=0.0),
+                        jnp.max(jnp.abs(T), axis=0, initial=0.0)), 1e-30))
+        gx = jnp.where(gx > 1e-12, gx, 1.0)
+        gy = jnp.sqrt(jnp.maximum(
+            jnp.max(jnp.abs(W), axis=0, initial=0.0), 1e-30))
+        gy = jnp.where(gy > 1e-12, gy, 1.0)
+        A1 = A1 / gx[None, :]
+        T = T / gx[None, :]
+        W = W / gy[None, :]
+        return A1, T, W, r1 / s1, r2 / s2, cx / gx, cy / gy
+
+    A1e, Te, We, r1, r2, cx, cy = jax.lax.fori_loop(
+        0, 8, equi_body,
+        (arrays.A1, arrays.T, arrays.W,
+         jnp.ones((m1,), dtype), jnp.ones((m2,), dtype),
+         jnp.ones((n1,), dtype), jnp.ones((n2,), dtype)))
+    arrays = dataclasses.replace(
+        arrays, A1=A1e, T=Te, W=We,
+        c=arrays.c * cx, q=arrays.q * cy,
+        b1=arrays.b1 * r1, r=arrays.r * r2,
+        lb1=arrays.lb1 / cx, ub1=arrays.ub1 / cx,
+        lb2=arrays.lb2 / cy, ub2=arrays.ub2 / cy)
+
     f1, A1f = _flip(arrays.senses1, arrays.A1, dtype)
     f2, Wf = _flip(arrays.senses2, arrays.W, dtype)
     _, Tf = _flip(arrays.senses2, arrays.T, dtype)
@@ -82,8 +121,10 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
     # per-scenario flipped rhs: f2 * (r + scatter(delta_r)); transfer-matrix
     # randomness patches Tf per scenario — supported via the effective-rhs
     # trick only for RHS positions; transfer positions contribute through
-    # x-dependent terms handled below.
+    # x-dependent terms handled below. Deltas pick up the row (and for
+    # transfer entries, column) scaling.
     rhs_delta = jnp.where(model.rv_is_rhs[None, :], deltas, 0.0)      # [S, R]
+    rhs_delta = rhs_delta * r2[model.rv_row][None, :]
     r_s = jnp.broadcast_to(arrays.r, (S, m2))
     r_s = r_s.at[:, model.rv_row].add(rhs_delta)
     h2 = r_s * f2[None, :]                                            # [S, m2]
@@ -94,9 +135,10 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
     # (all-zero when randomness is RHS-only, the shipped-instance fast path;
     # the scatter then costs one cheap no-op add)
     tr_delta = jnp.where(model.rv_is_rhs[None, :], 0.0, deltas)       # [S, R]
+    tr_delta = tr_delta * (r2[model.rv_row] * cx[model.rv_col])[None, :]
 
     def T_apply(x):
-        """[S, m2] = (Tf + dTf_s) x for all scenarios."""
+        """[S, m2] = (Tf + dTf_s) x for all scenarios (scaled space)."""
         base = _dot(arrays.T, x)                                      # [m2]
         out = jnp.broadcast_to(base, (S, m2))
         contrib = tr_delta * x[model.rv_col][None, :]                 # [S, R]
@@ -249,7 +291,8 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
     stats = {"ef_iters": rounds * config.restart_every,
              "ef_err": err_best,
              "ef_converged": err_best <= config.tol}
-    return xb, obj, stats
+    # xb lives in column-scaled space; undo for the caller
+    return cx * xb, obj, stats
 
 
 def crash_x0(inst: Instance, n_scenarios: int = 10, seed: int = 0,
