@@ -24,6 +24,17 @@ class PDHGConfig:
     # Convergence tolerance on the scaled KKT residuals (primal feasibility,
     # dual feasibility, duality gap), relative.
     tol: float = 1e-7
+    # Duals with relative KKT error at or below this are epsilon-valid for
+    # cut generation / dual-pool admission even when `tol` (the early-exit
+    # target) was not reached: a 1e-4-feasible dual still yields a
+    # valid-to-tolerance cut, while rejecting it starves the dual pool
+    # (observed on storm, where f32 residuals floor near 1e-5 and the pool
+    # froze at 2 vertices for 300 iterations).
+    valid_tol: float = 1e-4
+    # Give up on a batch element once err_best has not improved by >=3%
+    # over this many consecutive restart rounds — it has hit its numeric
+    # floor and further iterations only burn max_iters.
+    stall_rounds: int = 50
     # Inner steps between restarts-to-average.
     restart_every: int = 80
     # Maximum total PDHG iterations per solve.

@@ -182,6 +182,15 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
 
     qS = probs[:, None] * arrays.q[None, :]                           # [S, n2]
 
+    # PDLP primal-weight initialization (||objective|| / ||rhs||): keeps
+    # the primal/dual step balance scale-free — a fixed omega=1 with the
+    # normalized objective stalls on storm (same failure as ops/pdhg.py).
+    _qn = jnp.sqrt(jnp.sum(arrays.c ** 2) + jnp.sum(qS ** 2))
+    _hn = jnp.sqrt(jnp.sum(b1f ** 2) + jnp.sum(h2 ** 2))
+    omega_init = jnp.where(jnp.logical_and(_qn > 1e-30, _hn > 1e-30),
+                           _qn / jnp.maximum(_hn, 1e-30),
+                           jnp.ones((), dtype)).astype(dtype)
+
     def proj_dual(u0, U):
         u0 = jnp.where(eq1, u0, jnp.maximum(u0, 0.0))
         U = jnp.where(eq2[None, :], U, jnp.maximum(U, 0.0))
@@ -268,7 +277,8 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
         omega_new = jnp.where(
             jnp.logical_and(dprim > 1e-12, ddual > 1e-12),
             jnp.clip(jnp.exp(0.5 * jnp.log(ddual / dprim)
-                             + 0.5 * jnp.log(omega)), 1e-4, 1e4),
+                             + 0.5 * jnp.log(omega)),
+                     omega_init * 1e-4, omega_init * 1e4),
             omega)
         x = jnp.where(restart, xc, x1)
         Y = jnp.where(restart, Yc, Y1)
@@ -282,7 +292,7 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
     Yi = jnp.clip(jnp.zeros((S, n2), dtype), lb2, ub2)
     inf = jnp.asarray(jnp.inf, dtype)
     c0 = (xi, Yi, jnp.zeros((m1,), dtype), jnp.zeros((S, m2), dtype),
-          xi, Yi, jnp.ones((), dtype), inf, inf,
+          xi, Yi, omega_init, inf, inf,
           jnp.zeros((), jnp.int32), inf)
     out = jax.lax.while_loop(cond, round_step, c0)
     x, Y, u0, U, xb, Yb, omega, err_r, err_last, rounds, err_best = out

@@ -270,12 +270,12 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
         return Y, L, Ys / cnt, Ls / cnt
 
     def cond(carry):
-        it, done = carry[-2], carry[-1]
+        it, done = carry[-3], carry[-2]
         return jnp.logical_and(it < n_rounds, ~jnp.all(done))
 
     def round_step(carry):
         (Y, L, Yr, Lr, Yb, Lb, omega, err_r, err_last, err_best,
-         it, done) = carry
+         it, done, stall) = carry
         Y1, L1, Ya, La = pd_round(Y, L, ht, omega)
 
         err_cur, _ = _kkt_residuals(lp, ht, Y1, L1)
@@ -289,8 +289,14 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
         better = err < err_best
         Yb = jnp.where(better[:, None], Yc, Yb)
         Lb = jnp.where(better[:, None], Lc, Lb)
+        # Stagnation: count rounds without a meaningful (>=3%) improvement
+        # of the best error — an element at its numeric floor stops
+        # consuming rounds toward an unattainable tol.
+        meaningful = err < err_best * 0.97
+        stall = jnp.where(meaningful, 0, stall + 1)
         err_best = jnp.minimum(err, err_best)
-        done = err_best <= config.tol
+        done = jnp.logical_or(err_best <= config.tol,
+                              stall >= config.stall_rounds)
 
         # PDLP-style adaptive restart, PER BATCH ELEMENT: restart when the
         # candidate's KKT error improved sufficiently vs the last restart
@@ -310,7 +316,8 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
             jnp.exp(theta * jnp.log(dL / jnp.maximum(dY, 1e-30))
                     + (1.0 - theta) * jnp.log(omega)),
             omega)
-        omega_new = jnp.clip(omega_new, 1e-4, 1e4)
+        # clip RELATIVE to the data-derived initial weight, not to 1.0
+        omega_new = jnp.clip(omega_new, omega_lo, omega_hi)
 
         r = restart[:, None]
         Y2 = jnp.where(r, Yc, Y1)
@@ -321,7 +328,7 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
         err_r2 = jnp.where(restart, err, err_r)
 
         return (Y2, L2, Yr2, Lr2, Yb, Lb, omega2, err_r2, err, err_best,
-                it + 1, done)
+                it + 1, done, stall)
 
     if Y0 is None:
         Yi = jnp.clip(jnp.zeros((B, n), dtype), lb, ub)
@@ -331,14 +338,26 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
         Li = jnp.zeros((B, m), dtype)
     else:
         Li = _project_dual(L0 / (lp.row_scale * lp.flip)[None, :], lp.is_eq)
-    omega0 = jnp.ones((B,), dtype)
+    # PDLP primal-weight initialization: omega ~ ||q|| / ||h|| balances the
+    # primal and dual step scales regardless of objective scaling (a
+    # normalized objective q/s with omega=1 was observed to stall PDHG on
+    # storm at err~1e-1; the fixed [1e-4,1e4] clip around 1.0 could not
+    # reach the required balance).
+    qn = jnp.linalg.norm(lp.q)
+    hn = jnp.linalg.norm(ht, axis=-1)
+    omega_init = jnp.where(jnp.logical_and(qn > 1e-30, hn > 1e-30),
+                           qn / jnp.maximum(hn, 1e-30),
+                           jnp.ones((B,), dtype)).astype(dtype)
+    omega0 = omega_init
+    omega_lo = omega_init * 1e-4
+    omega_hi = omega_init * 1e4
     err0 = jnp.full((B,), jnp.inf, dtype)
     done0 = jnp.zeros((B,), bool)
 
     carry = (Yi, Li, Yi, Li, Yi, Li, omega0, err0, err0, err0,
-             jnp.zeros((), jnp.int32), done0)
+             jnp.zeros((), jnp.int32), done0, jnp.zeros((B,), jnp.int32))
     (Y, L, Yr, Lr, Yb, Lb, omega, err_r, err_last, err, rounds,
-     done) = jax.lax.while_loop(cond, round_step, carry)
+     done, stall) = jax.lax.while_loop(cond, round_step, carry)
 
     # Cut off padding rows, unscale back to the original problem.
     Yb = Yb[:B_orig]
@@ -353,12 +372,15 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
         "pdhg_rounds": rounds,
         "pdhg_iters": rounds * config.restart_every,
         "pdhg_err_max": jnp.max(err),
-        "pdhg_converged": jnp.all(done),
+        "pdhg_converged": jnp.all(err <= config.tol),
         "pdhg_omega": jnp.mean(omega),
         # per-element convergence: consumers must not trust duals of
         # unconverged elements (SD cut validity depends on epsilon-feasible
         # duals; a diverged element usually means an infeasible scenario LP)
         "pdhg_done": done,
+        # epsilon-validity for cut generation: looser than `tol` so duals
+        # at the f32 numeric floor still feed the dual pool (config.valid_tol)
+        "pdhg_valid": err <= config.valid_tol,
         "pdhg_err": err,
     }
     return obj, Y_out, Pi_out, stats

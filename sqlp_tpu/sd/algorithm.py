@@ -136,7 +136,7 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
     duals, duals_rounded, n_duals, duals_dropped = push_duals(
         state.duals, state.duals_rounded, state.n_duals, Pi,
         state.duals_dropped, config.dual_sig_bits,
-        valid=sub_stats["pdhg_done"])
+        valid=sub_stats["pdhg_valid"])
 
     # ---- 4. prune near-zero-dual cuts (algorithm.jl:57-69). The
     # reference's threshold is absolute (1e-3 on exact CPLEX duals); ours

@@ -29,7 +29,7 @@ def test_lands_compromise():
         solvers.append(s)
     x, info = compromise_decision(
         inst, [s.state for s in solvers], [s.espec for s in solvers],
-        rho=1.0, qp_config=QPConfig(tol=1e-9, max_iters=8_000),
+        rho=1.0, qp_config=QPConfig(tol=1e-7, max_iters=8_000),
         obj_scale=solvers[0].obj_scale)
     assert bool(info["qp_converged"])
     # compromise x is stage-1 feasible and near-optimal under the exact
