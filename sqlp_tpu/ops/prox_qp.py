@@ -60,12 +60,18 @@ def _pcg(M: jax.Array, b: jax.Array, x0: jax.Array, iters: int) -> jax.Array:
         x, r, p, rz = carry
         Mp = _dot(M, p)
         denom = jnp.dot(p, Mp)
-        alpha = jnp.where(denom > 0, rz / jnp.maximum(denom, 1e-300), 0.0)
+        # Guard BOTH exact convergence and tiny denominators: at rz == 0
+        # (an exactly-warm-started solve) the unguarded beta = rz_new/rz
+        # is NaN, and x + 0*NaN = NaN — this poisoned a whole SD state on
+        # ssn. 1e-30 is a normal f32, so the guard works in both dtypes.
+        ok = jnp.logical_and(denom > 1e-30, rz > 1e-30)
+        alpha = jnp.where(ok, rz / jnp.where(ok, denom, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * Mp
         z = dinv * r
         rz_new = jnp.dot(r, z)
-        beta = rz_new / jnp.maximum(rz, 1e-300)
+        beta = jnp.where(rz > 1e-30, rz_new / jnp.where(rz > 1e-30, rz, 1.0),
+                         0.0)
         return x, r, z + beta * p, rz_new
 
     r0 = b - _dot(M, x0)
@@ -209,6 +215,18 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
         ratio = jnp.sqrt((pres + 1e-20) / (dres + 1e-20))
         adapt = jnp.logical_or(ratio > 2.0, ratio < 0.5)
         rho_s = jnp.where(adapt, jnp.clip(rho_s * ratio, 1e-6, 1e6), rho_s)
+        # Self-healing: if any iterate went non-finite (overflow in a badly
+        # warm-started round), restart this solve from zeros instead of
+        # carrying NaN out of the while_loop into the SD state.
+        finite = jnp.logical_and(
+            jnp.all(jnp.isfinite(z)),
+            jnp.logical_and(jnp.all(jnp.isfinite(zeta)),
+                            jnp.all(jnp.isfinite(mu))))
+        z = jnp.where(finite, z, jnp.zeros_like(z))
+        zeta = jnp.where(finite, zeta, jnp.zeros_like(zeta))
+        mu = jnp.where(finite, mu, jnp.zeros_like(mu))
+        err = jnp.where(finite, err, jnp.asarray(jnp.inf, err.dtype))
+        rho_s = jnp.where(finite, rho_s, jnp.asarray(config.rho, dtype))
         return z, zeta, mu, it + 1, err, rho_s
 
     rho0 = jnp.asarray(config.rho, dtype)
