@@ -27,6 +27,7 @@ def _build_config(args):
         max_scenarios=args.max_scenarios,
         max_dual_vertices=args.max_duals,
         max_cuts=args.max_cuts,
+        dual_sig_bits=args.dual_sig_bits,
         scenarios_per_iter=args.batch,
         pdhg=PDHGConfig(tol=args.sub_tol, max_iters=args.sub_iters),
         qp=QPConfig(tol=args.master_tol, max_iters=args.master_iters),
@@ -55,7 +56,9 @@ def cmd_solve(args) -> int:
     else:
         x0 = np.zeros(inst.n1)
 
-    solver = SDSolver(inst, config, x0=x0, seed=args.seed)
+    from sqlp_tpu.sd.state import default_epigraph_spec
+    espec = default_epigraph_spec(1, 1.0, args.epi_lb, dtype=config.jdtype)
+    solver = SDSolver(inst, config, espec=espec, x0=x0, seed=args.seed)
     if args.resume:
         solver.state = load_state(args.resume, template=solver.state)
         print(f"resumed from {args.resume} at iter {int(solver.state.it)}",
@@ -168,6 +171,17 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--max-cuts", type=int, default=96)
         sp.add_argument("--batch", type=int, default=1,
                         help="scenarios per iteration per epigraph")
+        sp.add_argument("--epi-lb", type=float, default=0.0,
+                        help="per-epigraph lower bound on the expected "
+                             "recourse (objective units; the reference "
+                             "driver uses -500000 for baa99-20 whose "
+                             "recourse objective is negative — an lb above "
+                             "the true recourse makes cuts invalid)")
+        sp.add_argument("--dual-sig-bits", type=int, default=16,
+                        help="significant binary digits for dual-vertex "
+                             "dedup (reference uses 16; lower merges "
+                             "epsilon-noise duplicates from the "
+                             "first-order subproblem solver)")
         sp.add_argument("--sub-tol", type=float, default=1e-4)
         sp.add_argument("--sub-iters", type=int, default=60_000)
         sp.add_argument("--master-tol", type=float, default=1e-7)

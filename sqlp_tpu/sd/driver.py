@@ -69,6 +69,12 @@ class SDSolver:
         if s != 1.0:
             arrays = dataclasses.replace(
                 arrays, c=arrays.c / s, q=arrays.q / s)
+            # the per-epigraph lower bound is in objective units too: it is
+            # blended into every cut as (1-d)*lb (epigraph.jl:105-106), so
+            # leaving it unscaled poisons all cut values (observed on
+            # baa99-20 with the reference driver's lb=-500000)
+            self.espec = dataclasses.replace(
+                self.espec, lower_bound=self.espec.lower_bound / s)
             config = config.replace(
                 quad_scalar_init=config.quad_scalar_init / s,
                 quad_min=config.quad_min / s,
