@@ -57,8 +57,14 @@ def cmd_solve(args) -> int:
         x0 = np.zeros(inst.n1)
 
     from sqlp_tpu.sd.state import default_epigraph_spec
-    espec = default_epigraph_spec(1, 1.0, args.epi_lb, dtype=config.jdtype)
+    espec = None
+    if args.epi_lb is not None:
+        espec = default_epigraph_spec(1, 1.0, args.epi_lb,
+                                      dtype=config.jdtype)
     solver = SDSolver(inst, config, espec=espec, x0=x0, seed=args.seed)
+    print(f"recourse lower bound: {solver.recourse_lb:.6g}"
+          + (" (auto)" if args.epi_lb is None
+             else f" (user: {args.epi_lb:g})"), flush=True)
     if args.resume:
         solver.state = load_state(args.resume, template=solver.state)
         print(f"resumed from {args.resume} at iter {int(solver.state.it)}",
@@ -171,12 +177,16 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--max-cuts", type=int, default=96)
         sp.add_argument("--batch", type=int, default=1,
                         help="scenarios per iteration per epigraph")
-        sp.add_argument("--epi-lb", type=float, default=0.0,
-                        help="per-epigraph lower bound on the expected "
-                             "recourse (objective units; the reference "
-                             "driver uses -500000 for baa99-20 whose "
-                             "recourse objective is negative — an lb above "
-                             "the true recourse makes cuts invalid)")
+        sp.add_argument("--epi-lb", type=float, default=None,
+                        help="per-epigraph lower bound on the recourse "
+                             "(objective units). Default: computed as a "
+                             "provably valid bound by one exact host LP "
+                             "over the scenario support box. The reference "
+                             "trusts the user constant (its baa99-20 "
+                             "driver passes -500000 while the recourse "
+                             "dips below -860000 — invalid, and SD then "
+                             "converges to the wrong point); a user value "
+                             "above the valid bound triggers a warning.")
         sp.add_argument("--dual-sig-bits", type=int, default=16,
                         help="significant binary digits for dual-vertex "
                              "dedup (reference uses 16; lower merges "

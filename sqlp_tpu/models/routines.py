@@ -78,6 +78,123 @@ def solve_problem(sp: StageLP, last_stage_val: np.ndarray,
     return solve_lp_host(inst.c, inst.W, h, inst.senses, inst.lb, inst.ub)
 
 
+def recourse_lower_bound(arrays, scenario_model, normal_sigmas: float = 10.0
+                         ) -> float:
+    """Provably valid lower bound on the per-scenario recourse Q(x, xi).
+
+    The reference takes the epigraph lower bound as a user constant
+    (sdEpigraph ctor, src/sd_algorithm/epigraph.jl:52-61) and blends it
+    into every stored cut as (1-d)*lb (epigraph.jl:105-106). SD theory
+    requires lb <= Q(x, xi) for every master-feasible x and every scenario
+    xi: a too-high lb makes every decayed cut overestimate the recourse
+    and SD converges to the wrong point (observed on baa99-20, whose
+    reference driver passes lb=-500000 while Q dips below -860000 near
+    the optimum).
+
+    Here the bound is computed, not guessed: one exact host LP
+
+        min  q'y   s.t.  A1 x {senses1} b1,  W y + T x - S eta {senses2} r,
+                         lb1<=x<=ub1, lb2<=y<=ub2, eta in support box,
+
+    where eta_k ranges over each random position's support (discrete:
+    [min,max] outcome; uniform: [a,b]; normal: mean +- normal_sigmas*sigma
+    — the device sampler is inverse-CDF so draws beyond ~6 sigma cannot
+    occur in float32) and S scatters positions to rows. Minimizing jointly
+    over x and eta lower-bounds Q at every feasible (x, scenario) pair.
+    Transfer-matrix positions contribute the bilinear term -delta*x[j],
+    bounded by its box corners (needs finite x bounds).
+
+    Returns -inf (with a warning) when no finite bound exists (unbounded
+    recourse over the box, or T-randomness with unbounded x).
+    """
+    import warnings
+
+    m = scenario_model
+    c_dt = np.float64
+    q = np.asarray(arrays.q, c_dt)
+    W = np.asarray(arrays.W, c_dt)
+    T = np.asarray(arrays.T, c_dt)
+    r = np.asarray(arrays.r, c_dt)
+    b1 = np.asarray(arrays.b1, c_dt)
+    A1 = np.asarray(arrays.A1, c_dt) if b1.size else np.zeros((0, T.shape[1]))
+    senses1 = np.asarray(arrays.senses1)
+    senses2 = np.asarray(arrays.senses2)
+    lb1 = np.asarray(arrays.lb1, c_dt)
+    ub1 = np.asarray(arrays.ub1, c_dt)
+    lb2 = np.asarray(arrays.lb2, c_dt)
+    ub2 = np.asarray(arrays.ub2, c_dt)
+    m1, n1 = A1.shape
+    m2, n2 = W.shape
+
+    # per-position support bounds of the raw value
+    from sqlp_tpu.models.scenario import DIST_DISCRETE, DIST_NORMAL
+    dist = np.asarray(m.dist_type)
+    values = np.asarray(m.values, c_dt)
+    mean = np.asarray(m.mean, c_dt)
+    std = np.asarray(m.std, c_dt)
+    left = np.asarray(m.left, c_dt)
+    width = np.asarray(m.width, c_dt)
+    v_lo = np.where(dist == DIST_DISCRETE, values.min(axis=1),
+                    np.where(dist == DIST_NORMAL,
+                             mean - normal_sigmas * std, left))
+    v_hi = np.where(dist == DIST_DISCRETE, values.max(axis=1),
+                    np.where(dist == DIST_NORMAL,
+                             mean + normal_sigmas * std, left + width))
+    base = np.asarray(m.base, c_dt)
+    is_rhs = np.asarray(m.rv_is_rhs)
+    rv_col = np.asarray(m.rv_col)
+    d_lo, d_hi = v_lo - base, v_hi - base            # delta box
+    # effective per-row contribution bounds eta_k
+    e_lo, e_hi = d_lo.copy(), d_hi.copy()
+    tpos = ~is_rhs
+    if tpos.any():
+        xl, xu = lb1[rv_col[tpos]], ub1[rv_col[tpos]]
+        if not (np.isfinite(xl).all() and np.isfinite(xu).all()):
+            warnings.warn("recourse_lower_bound: transfer-matrix randomness "
+                          "with unbounded x — no finite bound; supply an "
+                          "explicit epigraph lower bound")
+            return float("-inf")
+        corners = np.stack([-d_lo[tpos] * xl, -d_lo[tpos] * xu,
+                            -d_hi[tpos] * xl, -d_hi[tpos] * xu])
+        e_lo[tpos] = corners.min(axis=0)
+        e_hi[tpos] = corners.max(axis=0)
+
+    R = dist.shape[0]
+    S = np.zeros((m2, R))
+    S[np.asarray(m.rv_row), np.arange(R)] = 1.0
+
+    # stacked LP over z = (x, y, eta)
+    A = np.zeros((m1 + m2, n1 + n2 + R))
+    if m1:
+        A[:m1, :n1] = A1
+    A[m1:, :n1] = T
+    A[m1:, n1:n1 + n2] = W
+    A[m1:, n1 + n2:] = -S
+    senses = np.concatenate([senses1, senses2])
+    rhs = np.concatenate([b1, r])
+    obj = np.concatenate([np.zeros(n1), q, np.zeros(R)])
+    lo = np.concatenate([lb1, lb2, e_lo])
+    hi = np.concatenate([ub1, ub2, e_hi])
+
+    g = senses == SENSE_G
+    l = senses == SENSE_L
+    e = senses == SENSE_E
+    A_ub = np.concatenate([A[l], -A[g]], axis=0) if (l.any() or g.any()) else None
+    b_ub = np.concatenate([rhs[l], -rhs[g]]) if A_ub is not None else None
+    A_eq = A[e] if e.any() else None
+    b_eq = rhs[e] if A_eq is not None else None
+    bounds = list(zip([v if np.isfinite(v) else None for v in lo],
+                      [v if np.isfinite(v) else None for v in hi]))
+    res = scipy.optimize.linprog(obj, A_ub=A_ub, b_ub=b_ub, A_eq=A_eq,
+                                 b_eq=b_eq, bounds=bounds, method="highs")
+    if res.status != 0:
+        warnings.warn(f"recourse_lower_bound LP did not solve "
+                      f"(status {res.status}: {res.message}); supply an "
+                      f"explicit epigraph lower bound")
+        return float("-inf")
+    return float(res.fun)
+
+
 def evaluate_host(sp1: StageLP, sp2: StageLP, sto: StoData, x: np.ndarray,
                   n_samples: int = 10_000,
                   rng: Optional[np.random.Generator] = None) -> float:

@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
+import warnings
 from typing import Callable, Dict, List, Optional
 
 import jax
@@ -31,6 +32,7 @@ jax.config.update("jax_enable_x64", True)
 
 from sqlp_tpu.config import SDConfig
 from sqlp_tpu.models.instance import Instance, load_instance
+from sqlp_tpu.models.routines import recourse_lower_bound
 from sqlp_tpu.ops.pdhg import prepare_lp, solve_batch
 from sqlp_tpu.sd.algorithm import _scenario_rhs, sd_step
 from sqlp_tpu.sd.state import EpigraphSpec, SDState, default_epigraph_spec, init_state
@@ -53,8 +55,26 @@ class SDSolver:
                  espec: Optional[EpigraphSpec] = None,
                  x0=None, seed: int = 0):
         self.inst = inst
-        self.espec = espec if espec is not None else default_epigraph_spec(
-            1, 1.0, 0.0, dtype=config.jdtype)
+        # Valid per-scenario recourse lower bound (the reference takes this
+        # as a trusted user constant; an invalid one silently corrupts every
+        # decayed cut — see recourse_lower_bound's docstring).
+        self.recourse_lb = recourse_lower_bound(inst.arrays,
+                                                inst.scenario_model)
+        if espec is None:
+            lb_auto = self.recourse_lb if np.isfinite(self.recourse_lb) \
+                else 0.0
+            espec = default_epigraph_spec(1, 1.0, lb_auto,
+                                          dtype=config.jdtype)
+        elif np.isfinite(self.recourse_lb):
+            bad = np.asarray(espec.lower_bound) > self.recourse_lb + 1e-9 * (
+                1.0 + abs(self.recourse_lb))
+            if bad.any():
+                warnings.warn(
+                    f"epigraph lower bound {np.asarray(espec.lower_bound)} "
+                    f"exceeds the valid recourse bound "
+                    f"{self.recourse_lb:.6g}; cuts blended with it are "
+                    f"invalid and SD may converge to the wrong point")
+        self.espec = espec
 
         # Objective normalization: run the whole algorithm in units of
         # cost/s. x is never scaled; every objective-unit output (estimates,
