@@ -80,6 +80,10 @@ class SDConfig:
     # Significant binary digits for dual-vertex dedup
     # (src/sd_algorithm/dual_set.jl:4).
     dual_sig_bits: int = 16
+    # Per-iteration decay of the dual-vertex usage score (EMA of SASA
+    # argmax win mass); at pool capacity the lowest-score vertex is
+    # evicted. 1.0 would never forget, 0.0 keeps only the last iteration.
+    dual_score_decay: float = 0.95
 
     # --- prox weight (quad scalar) schedule ---
     # "constant" or "adaptive" (src/sd_algorithm/quad_scalar.jl:4-76).

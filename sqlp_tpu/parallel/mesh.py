@@ -48,6 +48,7 @@ def state_pspecs(axis_name: str = SCENARIO_AXIS):
         scen_deltas=s3, scen_weights=s, n_scen=r, total_weight=r,
         scen_dropped=r,
         duals=r, duals_rounded=r, n_duals=r, duals_dropped=r,
+        duals_score=r,
         cut_alpha=r, cut_beta=r, cut_mark=r, cut_live=r, cut_dual=r,
         inc_alpha=r, inc_beta=r, inc_valid=r,
         x_candidate=r, x_incumbent=r,

@@ -46,9 +46,12 @@ def _scenario_rhs(arrays: InstanceArrays, model: ScenarioModel,
 
     deltas: [P, R] raw scenario deltas -> returns [P, m2].
     """
+    dt = arrays.r.dtype
+    x = x.astype(dt)
+    deltas = deltas.astype(dt)
     eff = effective_rhs_deltas(model, deltas, x)
     m2 = arrays.r.shape[0]
-    dense = jnp.zeros(deltas.shape[:-1] + (m2,), deltas.dtype)
+    dense = jnp.zeros(deltas.shape[:-1] + (m2,), dt)
     dense = dense.at[..., model.rv_row].add(eff)
     base = arrays.r - jnp.matmul(arrays.T, x, precision=_PREC)
     return base + dense
@@ -133,10 +136,10 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
         prep_sub, H, config.pdhg,
         Y0=state.sub_warm_Y, L0=state.sub_warm_L)
 
-    duals, duals_rounded, n_duals, duals_dropped = push_duals(
+    duals, duals_rounded, n_duals, duals_dropped, duals_score = push_duals(
         state.duals, state.duals_rounded, state.n_duals, Pi,
         state.duals_dropped, config.dual_sig_bits,
-        valid=sub_stats["pdhg_valid"])
+        valid=sub_stats["pdhg_valid"], score=state.duals_score)
 
     # ---- 4. prune near-zero-dual cuts (algorithm.jl:57-69). The
     # reference's threshold is absolute (1e-3 on exact CPLEX duals); ours
@@ -166,10 +169,12 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
     def build_at(x):
         return jax.vmap(
             lambda sd, sw, tw: build_sasa_cut(
-                arrays, model, duals, n_duals, sd, sw, tw, x)
+                arrays, model, duals, n_duals, sd, sw, tw, x,
+                with_counts=True)
         )(scen_deltas, scen_weights, total_weight)
 
-    cand_cut = build_at(state.x_candidate)
+    cand_cut, cand_counts = build_at(state.x_candidate)
+    argmax_counts = jnp.sum(cand_counts, axis=0)            # [D]
 
     # insert: first dead slot, else evict the smallest-|dual| live cut
     slot_score = jnp.where(cut_live, jnp.abs(state.cut_dual), -jnp.inf)
@@ -183,12 +188,14 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
 
     # ---- 6. refresh incumbent cut (epigraph.jl:83; algorithm.jl:82-84)
     if config.update_incumbent_cut:
-        inc_cut = build_at(state.x_incumbent)
+        inc_cut, inc_counts = build_at(state.x_incumbent)
         inc_alpha, inc_beta = inc_cut.alpha, inc_cut.beta
         inc_valid = jnp.ones((E,), bool)
+        argmax_counts = argmax_counts + jnp.sum(inc_counts, axis=0)
     else:
         inc_alpha, inc_beta = state.inc_alpha, state.inc_beta
         inc_valid = state.inc_valid
+    duals_score = config.dual_score_decay * duals_score + argmax_counts
 
     state_now = _dc.replace(
         state_last, cut_alpha=cut_alpha, cut_beta=cut_beta,
@@ -239,6 +246,7 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
         master_mu=mu,
         scen_dropped=state.scen_dropped + overflow,
         duals_dropped=duals_dropped,
+        duals_score=duals_score,
         sub_warm_Y=sub_Y,
         sub_warm_L=Pi,
     )

@@ -70,7 +70,8 @@ def argmax_duals(duals: jax.Array, n_duals: jax.Array,
 def build_sasa_cut(arrays: InstanceArrays, model: ScenarioModel,
                    duals: jax.Array, n_duals: jax.Array,
                    scen_deltas: jax.Array, scen_weights: jax.Array,
-                   total_weight: jax.Array, x: jax.Array) -> Cut:
+                   total_weight: jax.Array, x: jax.Array,
+                   with_counts: bool = False) -> Cut:
     """Build one SASA cut for one epigraph at x (epigraph.jl:125-146).
 
     alpha = sum_s p_s pi_s @ (r + dr_s)
@@ -78,6 +79,10 @@ def build_sasa_cut(arrays: InstanceArrays, model: ScenarioModel,
     with p_s = weight_s / total_weight and pi_s the pool argmax for s.
 
     Dead scenario slots carry weight 0 and contribute nothing.
+
+    With ``with_counts`` also returns the per-vertex argmax win mass
+    counts[d] = sum of p_s over scenarios whose argmax is vertex d — the
+    usage signal for the dual pool's eviction policy (dual_pool.py).
     """
     eff = effective_rhs_deltas(model, scen_deltas, x)       # [S, R]
     base = arrays.r - _dot(arrays.T, x)                     # [m2]
@@ -98,7 +103,11 @@ def build_sasa_cut(arrays: InstanceArrays, model: ScenarioModel,
     tr_contrib = jnp.where(model.rv_is_rhs[None, :], 0.0,
                            p[:, None] * scen_deltas * pi_at_rows)  # [S, R]
     beta = beta.at[model.rv_col].add(-jnp.sum(tr_contrib, axis=0))
-    return Cut(alpha=alpha, beta=beta)
+    cut = Cut(alpha=alpha, beta=beta)
+    if with_counts:
+        counts = jnp.zeros((duals.shape[0],), p.dtype).at[best].add(p)
+        return cut, counts
+    return cut
 
 
 def eval_dual(arrays: InstanceArrays, model: ScenarioModel,

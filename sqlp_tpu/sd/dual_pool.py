@@ -37,8 +37,7 @@ def round_sig_bits(x: jax.Array, bits: int = 16) -> jax.Array:
 
 def push_duals(duals: jax.Array, rounded: jax.Array, n: jax.Array,
                new_pis: jax.Array, dropped: jax.Array, sig_bits: int = 16,
-               valid=None
-               ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+               valid=None, score=None):
     """Push a batch of dual vectors into the pool with dedup.
 
     Args:
@@ -49,16 +48,26 @@ def push_duals(duals: jax.Array, rounded: jax.Array, n: jax.Array,
       valid: optional [P] bool — False entries are skipped (unconverged
         subproblem duals must not enter the pool; an invalid dual breaks
         cut validity).
+      score: optional [D] per-vertex usage score (EMA of argmax win mass,
+        sd/algorithm.py). When given, a push at capacity evicts the
+        lowest-score live vertex — the one the SASA argmax has stopped
+        selecting — instead of ring-replacing the oldest; the fresh vertex
+        starts at the live-score mean so it is not immediately re-evicted.
+        (The reference's pool is unbounded, dual_set.jl:84-93.)
 
-    Returns: (duals, rounded, n, dropped).
+    Returns: (duals, rounded, n, dropped), plus the updated score as a
+    fifth element when ``score`` was given.
     """
     D = duals.shape[0]
     if valid is None:
         valid = jnp.ones((new_pis.shape[0],), bool)
+    with_score = score is not None
+    if not with_score:
+        score = jnp.zeros((D,), duals.dtype)
 
     def push_one(carry, x):
         pi, ok = x
-        duals, rounded, n, dropped = carry
+        duals, rounded, n, dropped, score = carry
         pr = round_sig_bits(pi, sig_bits)
         live = jnp.arange(D) < n
         dup = jnp.logical_or(
@@ -66,23 +75,29 @@ def push_duals(duals: jax.Array, rounded: jax.Array, n: jax.Array,
             jnp.any(jnp.logical_and(live,
                                     jnp.all(rounded == pr[None, :], axis=1))))
         append = jnp.logical_and(~dup, n < D)
-        # At capacity, ring-replace the oldest slot: duals found near the
-        # current iterates stay in the pool, stale vertices rotate out
-        # (the reference's pool is unbounded, dual_set.jl:84-93; plain
-        # dropping was observed to stall cut quality on ssn).
-        ring = jnp.logical_and(~dup, n >= D)
-        idx = jnp.where(append, jnp.minimum(n, D - 1),
-                        dropped % jnp.asarray(D, dropped.dtype))
-        write = jnp.logical_or(append, ring)
+        evict = jnp.logical_and(~dup, n >= D)
+        if with_score:
+            evict_idx = jnp.argmin(jnp.where(live, score, jnp.inf)
+                                   ).astype(dropped.dtype)
+        else:
+            evict_idx = dropped % jnp.asarray(D, dropped.dtype)
+        idx = jnp.where(append, jnp.minimum(n, D - 1), evict_idx)
+        write = jnp.logical_or(append, evict)
         old_d = jax.lax.dynamic_slice_in_dim(duals, idx, 1)
         old_r = jax.lax.dynamic_slice_in_dim(rounded, idx, 1)
         duals = jax.lax.dynamic_update_slice_in_dim(
             duals, jnp.where(write, pi[None, :], old_d), idx, 0)
         rounded = jax.lax.dynamic_update_slice_in_dim(
             rounded, jnp.where(write, pr[None, :], old_r), idx, 0)
+        if with_score:
+            grace = jnp.sum(jnp.where(live, score, 0.0)) \
+                / jnp.maximum(n, 1).astype(score.dtype)
+            score = jnp.where(write, score.at[idx].set(grace), score)
         return (duals, rounded, n + append.astype(n.dtype),
-                dropped + ring.astype(dropped.dtype)), None
+                dropped + evict.astype(dropped.dtype), score), None
 
-    (duals, rounded, n, dropped), _ = jax.lax.scan(
-        push_one, (duals, rounded, n, dropped), (new_pis, valid))
+    (duals, rounded, n, dropped, score), _ = jax.lax.scan(
+        push_one, (duals, rounded, n, dropped, score), (new_pis, valid))
+    if with_score:
+        return duals, rounded, n, dropped, score
     return duals, rounded, n, dropped

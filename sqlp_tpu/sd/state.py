@@ -62,6 +62,7 @@ class SDState:
     duals_rounded: jax.Array  # [D, m2] 16-sig-binary-digit rounded copy
     n_duals: jax.Array        # int32
     duals_dropped: jax.Array  # int32
+    duals_score: jax.Array    # [D] EMA of argmax win mass (eviction signal)
 
     # cut pools (sdCut / sdEpigraph.cuts, epigraph.jl:5-12)
     cut_alpha: jax.Array      # [E, K]
@@ -135,6 +136,7 @@ def init_state(inst: Instance, espec: EpigraphSpec, config: SDConfig,
         duals_rounded=f((D, m2)),
         n_duals=jnp.zeros((), jnp.int32),
         duals_dropped=jnp.zeros((), jnp.int32),
+        duals_score=f((D,)),
         cut_alpha=f((E, K)),
         cut_beta=f((E, K, n1)),
         cut_mark=f((E, K)),

@@ -67,6 +67,27 @@ def test_dual_pool_capacity_ring_replace():
     assert int(dropped) == 2
 
 
+def test_dual_pool_usage_score_eviction():
+    """With a usage score, a push at capacity evicts the LOWEST-score live
+    vertex (not the oldest), and the fresh vertex starts at the live mean."""
+    duals = jnp.asarray([[1.0, 0, 0], [2.0, 0, 0], [3.0, 0, 0]])
+    rounded = duals
+    n = jnp.asarray(3, jnp.int32)
+    dropped = jnp.asarray(0, jnp.int32)
+    score = jnp.asarray([5.0, 0.5, 2.0])  # slot 1 least used
+    duals, rounded, n, dropped, score = push_duals(
+        duals, rounded, n, jnp.asarray([[9.0, 0, 0]]), dropped, score=score)
+    assert int(n) == 3 and int(dropped) == 1
+    np.testing.assert_allclose(np.asarray(duals)[:, 0], [1.0, 9.0, 3.0])
+    # fresh slot gets the pre-push live mean (5 + 0.5 + 2) / 3
+    np.testing.assert_allclose(float(score[1]), 2.5)
+    # duplicates still dedup and leave the score untouched
+    d2, r2, n2, dr2, s2 = push_duals(
+        duals, rounded, n, jnp.asarray([[9.0, 0, 0]]), dropped, score=score)
+    assert int(dr2) == 1
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(score))
+
+
 def test_round_sig_bits_julia_parity():
     """round(x; base=2, sigdigits=16): 1.0000000001 -> 1.0 exactly."""
     x = jnp.asarray([1.0000000001, 1.0, -0.4999999999, 0.0])
