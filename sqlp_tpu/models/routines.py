@@ -78,6 +78,77 @@ def solve_problem(sp: StageLP, last_stage_val: np.ndarray,
     return solve_lp_host(inst.c, inst.W, h, inst.senses, inst.lb, inst.ub)
 
 
+def project_first_stage(arrays, x0: np.ndarray, tol: float = 1e-7
+                        ) -> Tuple[np.ndarray, float]:
+    """Project x0 onto the first-stage feasible set {A1 x {senses} b1,
+    lb1 <= x <= ub1} in the 1-norm (one host LP).
+
+    The SD incumbent test compares cut-model estimates that ignore
+    first-stage feasibility (check_improvement, src/sd_algorithm/
+    improvement.jl:19-49), so an infeasible start x0 can pin the incumbent
+    forever: its fictitiously low estimate is unbeatable by any feasible
+    candidate (observed on storm with x0=0, whose 185 first-stage rows
+    exclude 0; the reference only avoids this by crash-starting and its
+    ``check_first_stage_feasible`` helper, src/prob.jl:20-32, is never
+    called by the drivers).
+
+    Returns (x_projected, distance). distance == 0.0 when x0 was feasible.
+    """
+    c_dt = np.float64
+    x0 = np.asarray(x0, c_dt)
+    b1 = np.asarray(arrays.b1, c_dt)
+    n1 = x0.shape[0]
+    A1 = np.asarray(arrays.A1, c_dt) if b1.size else np.zeros((0, n1))
+    senses1 = np.asarray(arrays.senses1)
+    lb1 = np.asarray(arrays.lb1, c_dt)
+    ub1 = np.asarray(arrays.ub1, c_dt)
+
+    # feasibility check first
+    r = A1 @ x0 - b1 if b1.size else np.zeros(0)
+    viol = np.concatenate([
+        np.abs(r[senses1 == SENSE_E]) if b1.size else np.zeros(0),
+        np.maximum(-r[senses1 == SENSE_G], 0.0) if b1.size else np.zeros(0),
+        np.maximum(r[senses1 == SENSE_L], 0.0) if b1.size else np.zeros(0),
+        np.maximum(lb1 - x0, 0.0),
+        np.maximum(x0 - ub1, 0.0),
+    ])
+    scale = 1.0 + np.abs(b1).max(initial=0.0) + np.abs(x0).max(initial=0.0)
+    if viol.size == 0 or viol.max(initial=0.0) <= tol * scale:
+        return x0, 0.0
+
+    # min 1'u  s.t.  u >= x - x0, u >= x0 - x, A1 x {senses} b1, bounds
+    g = senses1 == SENSE_G
+    l = senses1 == SENSE_L
+    e = senses1 == SENSE_E
+    I = np.eye(n1)
+    A_ub_rows = [np.concatenate([I, -I], axis=1),      # x - u <= x0
+                 np.concatenate([-I, -I], axis=1)]     # -x - u <= -x0
+    b_ub_rows = [x0, -x0]
+    if l.any():
+        A_ub_rows.append(np.concatenate([A1[l], np.zeros((l.sum(), n1))],
+                                        axis=1))
+        b_ub_rows.append(b1[l])
+    if g.any():
+        A_ub_rows.append(np.concatenate([-A1[g], np.zeros((g.sum(), n1))],
+                                        axis=1))
+        b_ub_rows.append(-b1[g])
+    A_ub = np.concatenate(A_ub_rows, axis=0)
+    b_ub = np.concatenate(b_ub_rows)
+    A_eq = np.concatenate([A1[e], np.zeros((e.sum(), n1))], axis=1) \
+        if e.any() else None
+    b_eq = b1[e] if A_eq is not None else None
+    obj = np.concatenate([np.zeros(n1), np.ones(n1)])
+    bounds = [(lo if np.isfinite(lo) else None, hi if np.isfinite(hi) else None)
+              for lo, hi in zip(lb1, ub1)] + [(0.0, None)] * n1
+    res = scipy.optimize.linprog(obj, A_ub=A_ub, b_ub=b_ub, A_eq=A_eq,
+                                 b_eq=b_eq, bounds=bounds, method="highs")
+    if res.status != 0:
+        raise RuntimeError(
+            f"first-stage projection LP failed (status {res.status}: "
+            f"{res.message}); the first stage may be infeasible")
+    return np.asarray(res.x[:n1], c_dt), float(res.fun)
+
+
 def recourse_lower_bound(arrays, scenario_model, normal_sigmas: float = 10.0
                          ) -> float:
     """Provably valid lower bound on the per-scenario recourse Q(x, xi).

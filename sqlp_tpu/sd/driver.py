@@ -32,7 +32,7 @@ jax.config.update("jax_enable_x64", True)
 
 from sqlp_tpu.config import SDConfig
 from sqlp_tpu.models.instance import Instance, load_instance
-from sqlp_tpu.models.routines import recourse_lower_bound
+from sqlp_tpu.models.routines import project_first_stage, recourse_lower_bound
 from sqlp_tpu.ops.pdhg import prepare_lp, solve_batch
 from sqlp_tpu.sd.algorithm import _scenario_rhs, sd_step
 from sqlp_tpu.sd.state import EpigraphSpec, SDState, default_epigraph_spec, init_state
@@ -110,6 +110,14 @@ class SDSolver:
             arrays.lb2, arrays.ub2, ruiz_iters=config.pdhg.ruiz_iters)
         if x0 is None:
             x0 = np.zeros(inst.n1)
+        # An infeasible start pins the incumbent forever (the improvement
+        # test ignores first-stage feasibility) — project onto the
+        # first-stage polytope (see project_first_stage's docstring).
+        x0, moved = project_first_stage(inst.arrays, x0)
+        if moved > 0.0:
+            warnings.warn(
+                f"x0 violated the first-stage constraints; projected onto "
+                f"the feasible set (1-norm distance {moved:.6g})")
         self.state: SDState = init_state(
             inst, self.espec, config, x0, jax.random.PRNGKey(seed))
         self.history: List[Dict] = []

@@ -75,3 +75,34 @@ def test_determinism_same_seed():
     np.testing.assert_array_equal(runs[0][0], runs[1][0])
     np.testing.assert_array_equal(runs[0][1], runs[1][1])
     assert runs[0][2] == runs[1][2]
+
+
+def test_infeasible_x0_projected():
+    """An infeasible start must be projected onto the first-stage polytope:
+    the SD incumbent test ignores first-stage feasibility, so an infeasible
+    incumbent's fictitiously low estimate can never be beaten (observed on
+    storm with x0=0, pinned for 1500 iterations). lands at x0=0 violates its
+    minimum-capacity row (x1+..+x4 >= 12)."""
+    require_instance("lands")
+    inst = load_instance("lands", dtype=jnp.float64)
+    with pytest.warns(UserWarning, match="projected onto"):
+        s = SDSolver(inst, _CFG, x0=np.zeros(4), seed=3)
+    x0 = s.x_incumbent
+    a = inst.arrays
+    from sqlp_tpu.models.stage import SENSE_G, SENSE_L
+    r = np.asarray(a.A1) @ x0
+    b1 = np.asarray(a.b1)
+    senses = np.asarray(a.senses1)
+    assert np.all(r[senses == SENSE_G] >= b1[senses == SENSE_G] - 1e-7)
+    assert np.all(r[senses == SENSE_L] <= b1[senses == SENSE_L] + 1e-7)
+    s.run(150)
+    ub = s.evaluate(n_samples=2000)
+    assert abs(ub - LANDS_OPT) < 8.0
+
+
+def test_feasible_x0_untouched():
+    require_instance("lands")
+    inst = load_instance("lands", dtype=jnp.float64)
+    x0 = np.array([3.0, 3.0, 3.0, 3.0])
+    s = SDSolver(inst, _CFG, x0=x0, seed=3)
+    np.testing.assert_array_equal(s.x_incumbent, x0)
