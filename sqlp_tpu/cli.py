@@ -61,6 +61,10 @@ def cmd_solve(args) -> int:
     if args.epi_lb is not None:
         espec = default_epigraph_spec(1, 1.0, args.epi_lb,
                                       dtype=config.jdtype)
+
+    if args.replications > 1:
+        return _solve_replicated(args, config, inst, espec, x0)
+
     solver = SDSolver(inst, config, espec=espec, x0=x0, seed=args.seed)
     print(f"recourse lower bound: {solver.recourse_lb:.6g}"
           + (" (auto)" if args.epi_lb is None
@@ -70,14 +74,26 @@ def cmd_solve(args) -> int:
         print(f"resumed from {args.resume} at iter {int(solver.state.it)}",
               file=sys.stderr)
 
+    from sqlp_tpu.sd.stopping import GapRule, LowerBoundStabilization
+    stab = LowerBoundStabilization(window=args.stop_stall_window,
+                                   rel_tol=args.stop_stall_tol) \
+        if args.stop_stall_window else None
+    gap_rule = GapRule(rel_gap=args.stop_gap) if args.stop_gap else None
+    if gap_rule and not args.eval_every:
+        print("--stop-gap needs --eval-every to estimate the upper bound; "
+              "ignoring", file=sys.stderr)
+        gap_rule = None
+
     logger = MetricsLogger(args.log)
     t0 = time.time()
     # iterations run in on-device chunks; host work (logging, MC eval,
-    # checkpointing) happens at the coarsest compatible boundary
+    # checkpointing, stopping rules) happens at the coarsest compatible
+    # boundary
     periods = [p for p in (args.log_every, args.eval_every,
                            args.checkpoint_every) if p]
     period = min(periods) if periods else args.iters
     done = 0
+    stopped = None
     with trace(args.profile):
         while done < args.iters:
             n = min(period, args.iters - done)
@@ -96,9 +112,17 @@ def cmd_solve(args) -> int:
                                      seed=args.seed + it)
                 logger.log({"it": it, "mc_upper_bound": ub})
                 print(f"iter {it}: mc_ub={ub:.4f}", file=sys.stderr)
+                if gap_rule and gap_rule.check(solver.lower_estimate, ub):
+                    stopped = f"gap <= {args.stop_gap:g} at iter {it}"
+            if stab and stab.update(float(last["inc_est"])):
+                stopped = stopped or \
+                    f"incumbent estimate stabilized at iter {it}"
             if args.checkpoint and args.checkpoint_every and \
                     done % args.checkpoint_every == 0:
                 save_state(args.checkpoint, solver.state, instance=inst.name)
+            if stopped:
+                print(f"stopping rule: {stopped}", file=sys.stderr)
+                break
     elapsed = time.time() - t0
 
     if args.checkpoint:
@@ -107,10 +131,43 @@ def cmd_solve(args) -> int:
     logger.log({"it": int(solver.state.it), "mc_upper_bound": ub,
                 "final": True})
     logger.close()
-    print(f"done: {args.iters} iters in {elapsed:.1f}s "
-          f"({args.iters / max(elapsed, 1e-9):.1f} it/s)", file=sys.stderr)
+    print(f"done: {done} iters in {elapsed:.1f}s "
+          f"({done / max(elapsed, 1e-9):.1f} it/s)", file=sys.stderr)
     print(f"lb_est={solver.lower_estimate:.6f} mc_ub={ub:.6f}")
     print(f"x_incumbent={np.round(solver.x_incumbent, 6).tolist()}")
+    return 0
+
+
+def _solve_replicated(args, config, inst, espec, x0) -> int:
+    """R independent SD replications + the compromise decision (Sen & Liu;
+    the reference planned this as a plugin and left it empty,
+    src/sd_algorithm/plugin/compromise.jl)."""
+    from sqlp_tpu.sd.compromise import compromise_decision
+    from sqlp_tpu.sd.driver import SDSolver
+
+    R = args.replications
+    solvers = []
+    t0 = time.time()
+    for r in range(R):
+        s = SDSolver(inst, config, espec=espec, x0=x0, seed=args.seed + r)
+        s.run(args.iters)
+        ub = s.evaluate(n_samples=args.eval_samples, seed=args.seed + 10_000)
+        print(f"replication {r}: lb_est={s.lower_estimate:.6f} "
+              f"mc_ub={ub:.6f}", file=sys.stderr)
+        solvers.append(s)
+    x_comp, info = compromise_decision(
+        inst, [s.state for s in solvers], [s.espec for s in solvers],
+        rho=args.compromise_rho, qp_config=config.qp,
+        obj_scale=solvers[0].obj_scale)
+    ub_comp = solvers[0].evaluate(x=x_comp, n_samples=args.eval_samples,
+                                  seed=args.seed + 20_000)
+    ub_bar = solvers[0].evaluate(x=info["x_bar"],
+                                 n_samples=args.eval_samples,
+                                 seed=args.seed + 20_000)
+    print(f"done: {R} x {args.iters} iters in {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    print(f"mc_ub_compromise={ub_comp:.6f} mc_ub_average={ub_bar:.6f}")
+    print(f"x_compromise={np.round(x_comp, 6).tolist()}")
     return 0
 
 
@@ -211,6 +268,19 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--resume", default=None)
     ps.add_argument("--profile", default=None,
                     help="jax.profiler trace directory")
+    ps.add_argument("--replications", type=int, default=1,
+                    help="run R independent SD replications and solve the "
+                         "compromise decision over their cut models")
+    ps.add_argument("--compromise-rho", type=float, default=1.0,
+                    help="prox weight toward the incumbent average in the "
+                         "compromise problem")
+    ps.add_argument("--stop-gap", type=float, default=0.0,
+                    help="stop when (mc_ub - lb_est) relative gap falls "
+                         "below this (needs --eval-every)")
+    ps.add_argument("--stop-stall-window", type=int, default=0,
+                    help="stop when the incumbent estimate moved less than "
+                         "--stop-stall-tol over this many log checks")
+    ps.add_argument("--stop-stall-tol", type=float, default=1e-4)
     common(ps)
     ps.set_defaults(fn=cmd_solve)
 
