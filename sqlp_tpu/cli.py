@@ -58,14 +58,16 @@ def cmd_solve(args) -> int:
 
     from sqlp_tpu.sd.state import default_epigraph_spec
     espec = None
+    E = args.epigraphs
     if args.epi_lb is not None:
-        espec = default_epigraph_spec(1, 1.0, args.epi_lb,
+        espec = default_epigraph_spec(E, 1.0 / E, args.epi_lb,
                                       dtype=config.jdtype)
 
     if args.replications > 1:
         return _solve_replicated(args, config, inst, espec, x0)
 
-    solver = SDSolver(inst, config, espec=espec, x0=x0, seed=args.seed)
+    solver = SDSolver(inst, config, espec=espec, x0=x0, seed=args.seed,
+                      n_epi=E)
     print(f"recourse lower bound: {solver.recourse_lb:.6g}"
           + (" (auto)" if args.epi_lb is None
              else f" (user: {args.epi_lb:g})"), flush=True)
@@ -127,13 +129,19 @@ def cmd_solve(args) -> int:
 
     if args.checkpoint:
         save_state(args.checkpoint, solver.state, instance=inst.name)
-    ub = solver.evaluate(n_samples=args.eval_samples, seed=args.seed + 1)
+    # final upper bound with its CI half-width: the recourse distribution
+    # can be heavy-tailed (ssn: std ~19 on a mean of ~9), so a point MC
+    # estimate without its sampling error invites false gap readings
+    ub, ub_hw, ub_n = solver.evaluate_ci(min_samples=args.eval_samples,
+                                         max_samples=args.eval_samples,
+                                         seed=args.seed + 1)
     logger.log({"it": int(solver.state.it), "mc_upper_bound": ub,
-                "final": True})
+                "mc_half_width": ub_hw, "mc_samples": ub_n, "final": True})
     logger.close()
     print(f"done: {done} iters in {elapsed:.1f}s "
           f"({done / max(elapsed, 1e-9):.1f} it/s)", file=sys.stderr)
-    print(f"lb_est={solver.lower_estimate:.6f} mc_ub={ub:.6f}")
+    print(f"lb_est={solver.lower_estimate:.6f} mc_ub={ub:.6f} "
+          f"(95% +- {ub_hw:.4f}, N={ub_n})")
     print(f"x_incumbent={np.round(solver.x_incumbent, 6).tolist()}")
     return 0
 
@@ -149,7 +157,8 @@ def _solve_replicated(args, config, inst, espec, x0) -> int:
     solvers = []
     t0 = time.time()
     for r in range(R):
-        s = SDSolver(inst, config, espec=espec, x0=x0, seed=args.seed + r)
+        s = SDSolver(inst, config, espec=espec, x0=x0, seed=args.seed + r,
+                     n_epi=args.epigraphs)
         s.run(args.iters)
         ub = s.evaluate(n_samples=args.eval_samples, seed=args.seed + 10_000)
         print(f"replication {r}: lb_est={s.lower_estimate:.6f} "
@@ -268,6 +277,9 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--resume", default=None)
     ps.add_argument("--profile", default=None,
                     help="jax.profiler trace directory")
+    ps.add_argument("--epigraphs", type=int, default=1,
+                    help="number of weighted epigraph variables (each fed "
+                         "an independent scenario stream at weight 1/E)")
     ps.add_argument("--replications", type=int, default=1,
                     help="run R independent SD replications and solve the "
                          "compromise decision over their cut models")

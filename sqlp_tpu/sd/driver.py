@@ -53,7 +53,7 @@ class SDSolver:
 
     def __init__(self, inst: Instance, config: SDConfig = SDConfig(),
                  espec: Optional[EpigraphSpec] = None,
-                 x0=None, seed: int = 0):
+                 x0=None, seed: int = 0, n_epi: int = 1):
         self.inst = inst
         # Valid per-scenario recourse lower bound (the reference takes this
         # as a trusted user constant; an invalid one silently corrupts every
@@ -63,7 +63,10 @@ class SDSolver:
         if espec is None:
             lb_auto = self.recourse_lb if np.isfinite(self.recourse_lb) \
                 else 0.0
-            espec = default_epigraph_spec(1, 1.0, lb_auto,
+            # E weighted epigraphs, each fed an independent scenario stream
+            # with weight 1/E (the reference's multiple-weighted-epigraph
+            # extension, readme.md:5-9 / bind_epigraph! cell.jl:99-116).
+            espec = default_epigraph_spec(n_epi, 1.0 / n_epi, lb_auto,
                                           dtype=config.jdtype)
         elif np.isfinite(self.recourse_lb):
             bad = np.asarray(espec.lower_bound) > self.recourse_lb + 1e-9 * (
