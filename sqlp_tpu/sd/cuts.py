@@ -76,7 +76,17 @@ def build_sasa_cut(arrays: InstanceArrays, model: ScenarioModel,
 
     alpha = sum_s p_s pi_s @ (r + dr_s)
     beta  = -sum_s p_s (T + dT_s)' pi_s
-    with p_s = weight_s / total_weight and pi_s the pool argmax for s.
+    with p_s = weight_s / sum(weights) and pi_s the pool argmax for s.
+
+    Until the scenario store saturates, sum(weights) == total_weight and
+    this is exactly the reference's p_s = w_s/total_weight. After
+    saturation the stored panel is an i.i.d. subsample of the scenario
+    stream, and normalizing by the STORED weight sum keeps the cut a
+    full-strength unbiased SAA estimate. Normalizing by the ever-growing
+    total_weight instead would scale every new cut by stored/total -> 0,
+    collapsing the model toward the epigraph lower bound (observed on
+    ssn with B=8: lb estimate peaked at 9.89 exactly when 8*iter hit
+    max_scenarios=4096, then decayed like 9.9 * 4096/(8*iter)).
 
     Dead scenario slots carry weight 0 and contribute nothing.
 
@@ -89,7 +99,8 @@ def build_sasa_cut(arrays: InstanceArrays, model: ScenarioModel,
     _, best = argmax_duals(duals, n_duals, base, model.rv_row, eff)
     Pi = duals[best]                                        # [S, m2]
 
-    p = scen_weights / jnp.maximum(total_weight, 1e-30)     # [S]
+    wsum = jnp.sum(scen_weights)
+    p = scen_weights / jnp.maximum(wsum, 1e-30)             # [S]
 
     # alpha: pi @ r plus RHS-delta corrections at the random rows.
     rhs_delta = jnp.where(model.rv_is_rhs[None, :], scen_deltas, 0.0)  # [S, R]

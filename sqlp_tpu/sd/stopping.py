@@ -30,6 +30,8 @@ class LowerBoundStabilization:
         default_factory=lambda: deque(maxlen=64))
 
     def update(self, lb_est: float) -> bool:
+        if self._hist.maxlen < self.window:
+            self._hist = deque(self._hist, maxlen=self.window)
         self._hist.append(float(lb_est))
         if len(self._hist) < self.window:
             return False

@@ -35,3 +35,31 @@ def test_lands_batch4():
     # draw, so compare loosely; the MC evaluation pins the solution quality
     assert abs(lb - 381.8533) < 6.0
     assert abs(ub - 381.8533) < 6.0
+
+
+def test_scenario_store_saturation_no_cut_decay():
+    """Once the store saturates, new cuts must stay full-strength SAA
+    estimates over the stored (i.i.d.) panel. Regression: normalizing by
+    the ever-growing total_weight decayed every new cut by stored/total,
+    collapsing the model toward the epigraph lower bound (ssn B=8: lb
+    estimate fell from 9.89 to 1.67 ~= 9.9*4096/24000 after the 4096-cap
+    store saturated at iter 512)."""
+    require_instance("lands")
+    inst = load_instance("lands", dtype=jnp.float64)
+    cfg = SDConfig(
+        dtype="float64", scenarios_per_iter=4,
+        max_scenarios=64,            # saturates at iteration 16 of 150
+        max_dual_vertices=128, max_cuts=16,
+        pdhg=PDHGConfig(tol=1e-8, max_iters=10_000),
+        qp=QPConfig(tol=1e-9, max_iters=4_000),
+    )
+    s = SDSolver(inst, cfg, x0=np.array([3.0, 3.0, 3.0, 3.0]), seed=5)
+    s.run(150)
+    assert int(s.state.n_scen[0]) == 64          # stored panel saturated
+    assert float(s.state.total_weight[0]) == 600.0   # stream kept counting
+    # with the decay bug the model value at the candidate sinks toward the
+    # recourse lower bound (cand_est ~ c@x + 64/600 * recourse); fixed, it
+    # stays in the optimum's neighborhood
+    assert s.lower_estimate > 360.0, s.lower_estimate
+    ub = s.evaluate(n_samples=4000)
+    assert abs(ub - 381.8533) < 6.0
