@@ -219,11 +219,41 @@ def recourse_lower_bound(arrays, scenario_model, normal_sigmas: float = 10.0
     e_lo, e_hi = d_lo.copy(), d_hi.copy()
     tpos = ~is_rhs
     if tpos.any():
-        xl, xu = lb1[rv_col[tpos]], ub1[rv_col[tpos]]
+        xl, xu = lb1[rv_col[tpos]].copy(), ub1[rv_col[tpos]].copy()
+        # When the box on x is infinite, the first-stage POLYTOPE may still
+        # bound it (master-feasible candidates always satisfy A1 x senses b1;
+        # the driver projects x0 onto it too). Tighten each needed column
+        # with two tiny implied-bound LPs before giving up.
+        need = ~(np.isfinite(xl) & np.isfinite(xu))
+        if need.any():
+            m1_, n1_ = A1.shape
+            g1 = senses1 == SENSE_G
+            l1 = senses1 == SENSE_L
+            e1 = senses1 == SENSE_E
+            A1_ub = (np.concatenate([A1[l1], -A1[g1]], axis=0)
+                     if (l1.any() or g1.any()) else None)
+            b1_ub = (np.concatenate([b1[l1], -b1[g1]])
+                     if A1_ub is not None else None)
+            A1_eq = A1[e1] if e1.any() else None
+            b1_eq = b1[e1] if A1_eq is not None else None
+            x_bounds = list(zip(
+                [v if np.isfinite(v) else None for v in lb1],
+                [v if np.isfinite(v) else None for v in ub1]))
+            for idx in np.nonzero(need)[0]:
+                j = rv_col[tpos][idx]
+                obj_j = np.zeros(n1_)
+                obj_j[j] = 1.0
+                for sign, tgt in ((1.0, xl), (-1.0, xu)):
+                    res = scipy.optimize.linprog(
+                        sign * obj_j, A_ub=A1_ub, b_ub=b1_ub, A_eq=A1_eq,
+                        b_eq=b1_eq, bounds=x_bounds, method="highs")
+                    if res.status == 0:
+                        tgt[idx] = sign * res.fun
         if not (np.isfinite(xl).all() and np.isfinite(xu).all()):
             warnings.warn("recourse_lower_bound: transfer-matrix randomness "
-                          "with unbounded x — no finite bound; supply an "
-                          "explicit epigraph lower bound")
+                          "with x unbounded even over the first-stage "
+                          "polytope — no finite bound; supply an explicit "
+                          "epigraph lower bound")
             return float("-inf")
         corners = np.stack([-d_lo[tpos] * xl, -d_lo[tpos] * xu,
                             -d_hi[tpos] * xl, -d_hi[tpos] * xu])
