@@ -46,6 +46,14 @@ class PDHGConfig:
     # Fused VMEM-resident Pallas kernel for the inner PDHG round (TPU only;
     # ignored on other backends).
     use_pallas: bool = True
+    # Batch compaction: convergence across a scenario panel is heavily
+    # skewed (ssn B=4096: 95% of LPs done by round 80, the last at 423), so
+    # once the active count fits a smaller static batch, sort converged
+    # elements out and run the tail on the prefix (ops/pdhg.py ladder).
+    compaction: bool = True
+    # Smallest batch for which the ladder is built; below this a single
+    # full-size phase (the classic loop) runs.
+    compact_min_batch: int = 2048
 
 
 @dataclasses.dataclass(frozen=True)
