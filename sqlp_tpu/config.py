@@ -67,6 +67,30 @@ class QPConfig:
     rho: float = 0.1
     rho_eq_scale: float = 1e3
     over_relax: float = 1.6
+    # Windowed stagnation cutoff: every `stall_rounds` check intervals the
+    # best KKT error seen must have improved by >=3% over the previous
+    # window, else the solve stops — the iterate is at its (dtype) numeric
+    # floor and further ADMM rounds only burn max_iters (observed on ssn,
+    # where the f32 floor ~2e-4 sits above the clamped tolerance and every
+    # master solve ran the full 4000-iteration budget). Windowed rather
+    # than consecutive-interval because rho adaptation makes the error
+    # oscillate, and lucky dips reset a consecutive counter forever.
+    stall_rounds: int = 6
+    # A stalled window first forces a rho rebalance/kick (plateaus are
+    # usually rho stuck in the adaptation deadband — seen on the lands
+    # compromise QP, which creeps at 1.6x tol for ~4000 iterations until a
+    # rebalance unlocks it); only after this many fruitless restarts does
+    # the solve give up. Each restart is cheap (best-iterate tracking keeps
+    # the pre-kick point), so probe generously before declaring a floor.
+    stall_restarts: int = 4
+    # A stall exit is only allowed when the best error is already within
+    # this factor of the (dtype-clamped) tolerance: a true numeric floor
+    # sits just above tol (ssn f32: 2e-4 vs 6e-5), while a stall orders of
+    # magnitude out means the iterate is genuinely unfinished — returning
+    # it can hand the SD loop an x outside the induced-feasible region
+    # (observed on lands, where a ~1e-5-feasible master x made the
+    # second-stage LP infeasible). Those solves run their full budget.
+    stall_tol_factor: float = 100.0
 
 
 @dataclasses.dataclass(frozen=True)

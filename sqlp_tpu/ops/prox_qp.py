@@ -198,23 +198,73 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
         return pres, dres
 
     def cond(carry):
-        it, err = carry[3], carry[4]
-        return jnp.logical_and(it < n_rounds, err > eff_tol)
+        it, err, stalled = carry[3], carry[4], carry[9]
+        return jnp.logical_and(
+            jnp.logical_and(it < n_rounds, err > eff_tol),
+            jnp.logical_not(stalled))
 
     def round_step(carry):
-        z, zeta, mu, it, _, rho_s = carry
+        (z, zeta, mu, it, _, rho_s, err_best, winct, err_mark, _stalled,
+         z_best, mu_best, restarts) = carry
         rho_vec, M = factor(rho_s)
         z, zeta, mu = jax.lax.fori_loop(
             0, config.check_every,
             lambda _, c: one_step(c, rho_vec, M), (z, zeta, mu))
         pres, dres = residuals(z, zeta, mu)
         err = jnp.maximum(pres, dres)
+        # Track the best iterate seen at a check point: under rho
+        # adaptation the error oscillates around its (dtype) numeric
+        # floor, so the LAST iterate can be far worse than the best.
+        better = err < err_best
+        z_best = jnp.where(better, z, z_best)
+        mu_best = jnp.where(better, mu, mu_best)
+        err_best = jnp.minimum(err, err_best)
+        # Windowed stagnation test: every stall_rounds check intervals,
+        # require >=3% cumulative improvement of the best error seen, else
+        # give up — the iterate is at its numeric floor and further ADMM
+        # rounds only burn max_iters. A consecutive-interval counter does
+        # NOT work here: oscillation under rho adaptation produces a lucky
+        # >=3% dip often enough to reset it (observed on ssn, where every
+        # master solve ran the full budget at an err floor ~2e-4).
+        winct = winct + 1
+        window_done = winct >= config.stall_rounds
+        improved = err_best < err_mark * 0.97
+        stalled_win = jnp.logical_and(window_done, jnp.logical_not(improved))
+        err_mark = jnp.where(window_done, err_best, err_mark)
+        winct = jnp.where(window_done, 0, winct)
+        # A stalled window first triggers a rho restart (below), because a
+        # plateau is usually rho sitting inside the adaptation deadband —
+        # observed on the lands compromise QP, which creeps at 1.6x tol for
+        # ~4000 iterations until a late rebalance unlocks it. Only after
+        # `stall_restarts` fruitless restarts do we declare a numeric floor
+        # and give up (ssn f32 masters, whose floor sits above the clamped
+        # tolerance). Best-iterate tracking makes restarts free.
+        restarts = jnp.where(stalled_win, restarts + 1, restarts)
+        # give up only when the plateau sits near the tolerance (a dtype
+        # floor); a stall orders of magnitude out runs the full budget —
+        # returning a barely-feasible x breaks induced feasibility
+        # downstream (see QPConfig.stall_tol_factor).
+        near_tol = err_best <= config.stall_tol_factor * eff_tol
+        stalled = jnp.logical_and(
+            jnp.logical_and(stalled_win, near_tol),
+            restarts > config.stall_restarts)
         # OSQP rho adaptation: rebalance the penalty toward the lagging
         # residual (refactorization is O(nz^3) on a tiny matrix, once per
         # check interval). Fixed rho stalls on badly conditioned masters.
         ratio = jnp.sqrt((pres + 1e-20) / (dres + 1e-20))
         adapt = jnp.logical_or(ratio > 2.0, ratio < 0.5)
-        rho_s = jnp.where(adapt, jnp.clip(rho_s * ratio, 1e-6, 1e6), rho_s)
+        # forced rebalance on a stalled window: jump AT LEAST a decade
+        # toward the lagging residual — the gentle `ratio` scaling is what
+        # was already creeping (the lands compromise QP sits at ratio~1.3,
+        # pres lagging, moving ~0.5%/check; nudging rho by 1.3x per window
+        # never escapes). If the residuals are balanced (ratio ~ 1), the
+        # decade direction alternates to probe both ADMM regimes.
+        alt = jnp.where(restarts % 2 == 0, 10.0, 0.1).astype(dtype)
+        big = jnp.where(ratio >= 1.0, jnp.maximum(ratio, 10.0),
+                        jnp.minimum(ratio, 0.1))
+        forced = jnp.where(jnp.abs(jnp.log(ratio)) > 0.2, big, alt)
+        scale = jnp.where(stalled_win, forced, jnp.where(adapt, ratio, 1.0))
+        rho_s = jnp.clip(rho_s * scale, 1e-6, 1e6)
         # Self-healing: if any iterate went non-finite (overflow in a badly
         # warm-started round), restart this solve from zeros instead of
         # carrying NaN out of the while_loop into the SD state.
@@ -226,45 +276,44 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
         zeta = jnp.where(finite, zeta, jnp.zeros_like(zeta))
         mu = jnp.where(finite, mu, jnp.zeros_like(mu))
         err = jnp.where(finite, err, jnp.asarray(jnp.inf, err.dtype))
+        # keep the pre-blow-up best; only the window bookkeeping restarts
+        winct = jnp.where(finite, winct, 0)
+        err_mark = jnp.where(finite, err_mark, jnp.asarray(jnp.inf, dtype))
+        stalled = jnp.where(finite, stalled, False)
         rho_s = jnp.where(finite, rho_s, jnp.asarray(config.rho, dtype))
-        return z, zeta, mu, it + 1, err, rho_s
+        return (z, zeta, mu, it + 1, err, rho_s, err_best, winct, err_mark,
+                stalled, z_best, mu_best, restarts)
 
     rho0 = jnp.asarray(config.rho, dtype)
     rho_vec0, _ = factor(rho0)
     zeta = jnp.clip(_dot(As, z), lc, uc)
     init = (z, zeta, mu, jnp.zeros((), jnp.int32),
-            jnp.asarray(jnp.inf, dtype), rho0)
-    z, zeta, mu, rounds, err, rho_s = jax.lax.while_loop(
-        cond, round_step, init)
+            jnp.asarray(jnp.inf, dtype), rho0,
+            jnp.asarray(jnp.inf, dtype), jnp.zeros((), jnp.int32),
+            jnp.asarray(jnp.inf, dtype), jnp.asarray(False),
+            z, mu, jnp.zeros((), jnp.int32))
+    (z_last, zeta, mu_last, rounds, err_last, rho_s, err_best, _, _, _,
+     z_best, mu_best, _) = jax.lax.while_loop(cond, round_step, init)
+    # Return the best check-point iterate, not the last one (they differ
+    # when the loop stops on stall or budget mid-oscillation).
+    use_best = err_best < err_last
+    z = jnp.where(use_best, z_best, z_last)
+    mu = jnp.where(use_best, mu_best, mu_last)
+    err = jnp.minimum(err_best, err_last)
 
     # ---- OSQP-style polish: the ADMM termination test is relative to the
     # largest row scale, so on mixed-scale masters (storm: cut rows ~1e7,
     # x-bound rows ~1e2) "converged" can hide multi-unit bound violations.
-    # Solve the active-set KKT system exactly (one dense solve; inactive
+    # Solve the active-set KKT system exactly (dense Schur solve; inactive
     # rows decouple through a masked regularized saddle system) and keep
     # the polished point if its true KKT error is smaller.
-    # relative threshold only: mu lives in scaled units (cost scaling can
-    # put max|mu| near 1e-2, where any absolute floor swamps the signal)
-    act_eps = 1e-4 * jnp.max(jnp.abs(mu)) + 1e-30
-    active = jnp.abs(mu) > act_eps
-    b_act = jnp.where(mu < 0, lc, uc)
-    usable = jnp.logical_and(active, jnp.abs(b_act) < 1e29)
-    w = usable.astype(dtype)
-    delta = jnp.asarray(1e-8 if dtype == jnp.float64 else 1e-5, dtype)
-    # SPD Schur-complement solve of the masked saddle system (avoids LU,
-    # which the TPU f64 path does not lower): with Pt = diag(p_s) + delta,
-    #   (A_w Pt^-1 A_w' + delta I) nu = A_w Pt^-1 (-g_s) - w b_act
-    #   z = Pt^-1 (-g_s - A_w' nu)
-    # inactive rows decouple to nu_i = 0.
-    pt_inv = 1.0 / (p_s + delta)
-    Aw = As * w[:, None]
-    S = _dot(Aw * pt_inv[None, :], Aw.T) + delta * jnp.eye(mA, dtype=dtype)
-    rhs = _dot(Aw, pt_inv * (-g_s)) - w * b_act
-    nu = _pcg(S, rhs, mu, 200)
-    nu = nu * w
-    z_pol = pt_inv * (-g_s - _dot(Aw.T, nu))
-    mu_pol = nu
-
+    #
+    # The active set is REFINED over a few passes (drop wrong-sign
+    # multipliers, add violated rows) rather than read once from mu: after
+    # a stall-cutoff exit the best ADMM iterate can carry a mid-rho-kick mu
+    # whose magnitudes misclassify near-active rows (observed on the lands
+    # compromise QP, where the one-shot polish failed from the stalled
+    # iterate but succeeds from the settled full-budget one).
     def kkt_err(zs, mus):
         zo = dc * zs
         muo = (dr / cost_s) * mus
@@ -278,14 +327,78 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
                        / (1.0 + jnp.abs(grad)))
         return jnp.maximum(pres, dres)
 
+    delta = jnp.asarray(1e-8 if dtype == jnp.float64 else 1e-5, dtype)
+    pt_inv = 1.0 / (p_s + delta)
+    eye = jnp.eye(mA, dtype=dtype)
+    fin_l = l_s > -1e29
+    fin_u = u_s < 1e29
+
+    # initial active set: dual magnitude (relative threshold only: mu lives
+    # in scaled units where any absolute floor swamps the signal) OR primal
+    # proximity of the ADMM iterate to a finite bound.
+    act_eps = 1e-4 * jnp.max(jnp.abs(mu)) + 1e-30
+    Az_s = _dot(As, z)
+    near_l = jnp.logical_and(fin_l, Az_s - lc < 1e-5 * (1.0 + jnp.abs(lc)))
+    near_u = jnp.logical_and(fin_u, uc - Az_s < 1e-5 * (1.0 + jnp.abs(uc)))
+    active = jnp.logical_or(jnp.abs(mu) > act_eps,
+                            jnp.logical_or(near_l, near_u))
+    # per-row side: the sign of mu where it speaks, else the nearer bound
+    side_l = jnp.where(jnp.abs(mu) > act_eps, mu < 0, near_l)
+
+    def polish_pass(carry):
+        side_l, active, nu0 = carry
+        b_act = jnp.where(side_l, lc, uc)
+        usable = jnp.logical_and(active, jnp.abs(b_act) < 1e29)
+        w = usable.astype(dtype)
+        # SPD Schur-complement solve of the masked saddle system (avoids
+        # LU, which the TPU f64 path does not lower): Pt = diag(p_s)+delta,
+        #   (A_w Pt^-1 A_w' + delta I) nu = A_w Pt^-1 (-g_s) - w b_act
+        #   z = Pt^-1 (-g_s - A_w' nu);  inactive rows decouple to nu=0.
+        Aw = As * w[:, None]
+        S = _dot(Aw * pt_inv[None, :], Aw.T) + delta * eye
+        rhs = _dot(Aw, pt_inv * (-g_s)) - w * b_act
+        nu = _pcg(S, rhs, nu0 * w, 200) * w
+        z_pol = pt_inv * (-g_s - _dot(Aw.T, nu))
+        # iterative refinement against the UNregularized KKT system: the
+        # delta-regularized solve is only delta-accurate, which leaves the
+        # polished KKT error ~1.6x above a 1e-7 tolerance on the lands
+        # compromise QP. Two correction solves push it to machine level.
+        for _ in range(2):
+            r_z = -g_s - p_s * z_pol - _dot(Aw.T, nu)
+            r_nu = w * b_act - _dot(Aw, z_pol)
+            dnu = _pcg(S, _dot(Aw, pt_inv * r_z) - r_nu,
+                       jnp.zeros_like(nu), 200) * w
+            z_pol = z_pol + pt_inv * (r_z - _dot(Aw.T, dnu))
+            nu = nu + dnu
+        # refinement: drop rows whose multiplier has the wrong sign for
+        # their side (lower-active needs nu <= 0), re-add rows the polished
+        # point violates, on the violated side.
+        Az = _dot(As, z_pol)
+        wrong = jnp.where(side_l, nu > act_eps, nu < -act_eps)
+        viol_l = jnp.logical_and(fin_l,
+                                 Az < lc - 1e-9 * (1.0 + jnp.abs(lc)))
+        viol_u = jnp.logical_and(fin_u,
+                                 Az > uc + 1e-9 * (1.0 + jnp.abs(uc)))
+        active1 = jnp.logical_or(jnp.logical_and(usable, ~wrong),
+                                 jnp.logical_or(viol_l, viol_u))
+        side_l1 = jnp.where(viol_l, True, jnp.where(viol_u, False, side_l))
+        return (side_l1, active1, nu), (z_pol, nu)
+
     err_admm = kkt_err(z, mu)
-    err_pol = kkt_err(z_pol, mu_pol)
-    finite = jnp.logical_and(jnp.all(jnp.isfinite(z_pol)),
-                             jnp.all(jnp.isfinite(nu)))
-    take = jnp.logical_and(finite, err_pol < err_admm)
-    z = jnp.where(take, z_pol, z)
-    mu = jnp.where(take, mu_pol, mu)
-    err_final = jnp.minimum(err_pol, err_admm)
+    best_z, best_mu, best_err = z, mu, err_admm
+    carry = (side_l, active, mu)
+    for _ in range(3):
+        carry, (z_pol, nu) = polish_pass(carry)
+        finite = jnp.logical_and(jnp.all(jnp.isfinite(z_pol)),
+                                 jnp.all(jnp.isfinite(nu)))
+        err_pol = jnp.where(finite, kkt_err(z_pol, nu),
+                            jnp.asarray(jnp.inf, dtype))
+        take = err_pol < best_err
+        best_z = jnp.where(take, z_pol, best_z)
+        best_mu = jnp.where(take, nu, best_mu)
+        best_err = jnp.minimum(err_pol, best_err)
+    z, mu, err_final = best_z, best_mu, best_err
+    take = err_final < err_admm
 
     stats = {
         "qp_iters": rounds * config.check_every,
