@@ -165,15 +165,31 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
 
     n_rounds = max(1, config.max_iters // config.check_every)
 
+    # Direct z-update via an explicit inverse computed once per refactor
+    # (LU lowers fine on TPU in f32, ~0.7ms at master sizes); one iterative
+    # -refinement step wipes the f32 inversion error. This replaces a
+    # 25-iteration PCG per ADMM step — a per-step sequential chain of tiny
+    # matvecs that made the master solve latency-bound on TPU (75 of the
+    # 117 ms/iter ssn SD step). The PCG path remains only for emulated-f64
+    # on TPU, where LU/Cholesky lowering faults the worker (see _pcg).
+    use_inv = not (dtype == jnp.float64 and jax.default_backend() == "tpu")
+
+    def _solve_spd(M, Minv, b, x0, pcg_iters=25):
+        if Minv is None:
+            return _pcg(M, b, x0, pcg_iters)
+        x = _dot(Minv, b)
+        return x + _dot(Minv, b - _dot(M, x))
+
     def factor(rho_s):
         rho_vec = jnp.where(is_eq, rho_s * config.rho_eq_scale, rho_s)
         M = jnp.diag(p_s + sig) + _dot(As.T * rho_vec[None, :], As)
-        return rho_vec, M
+        Minv = jnp.linalg.inv(M) if use_inv else None
+        return rho_vec, M, Minv
 
-    def one_step(carry, rho_vec, M):
+    def one_step(carry, rho_vec, M, Minv):
         z, zeta, mu = carry
         rhs = sig * z - g_s + _dot(As.T, rho_vec * zeta - mu)
-        z1 = _pcg(M, rhs, z, 25)
+        z1 = _solve_spd(M, Minv, rhs, z)
         Az = _dot(As, z1)
         v = alpha * Az + (1.0 - alpha) * zeta
         zeta1 = jnp.clip(v + mu / rho_vec, lc, uc)
@@ -206,10 +222,10 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
     def round_step(carry):
         (z, zeta, mu, it, _, rho_s, err_best, winct, err_mark, _stalled,
          z_best, mu_best, restarts) = carry
-        rho_vec, M = factor(rho_s)
+        rho_vec, M, Minv = factor(rho_s)
         z, zeta, mu = jax.lax.fori_loop(
             0, config.check_every,
-            lambda _, c: one_step(c, rho_vec, M), (z, zeta, mu))
+            lambda _, c: one_step(c, rho_vec, M, Minv), (z, zeta, mu))
         pres, dres = residuals(z, zeta, mu)
         err = jnp.maximum(pres, dres)
         # Track the best iterate seen at a check point: under rho
@@ -285,7 +301,6 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
                 stalled, z_best, mu_best, restarts)
 
     rho0 = jnp.asarray(config.rho, dtype)
-    rho_vec0, _ = factor(rho0)
     zeta = jnp.clip(_dot(As, z), lc, uc)
     init = (z, zeta, mu, jnp.zeros((), jnp.int32),
             jnp.asarray(jnp.inf, dtype), rho0,
@@ -356,8 +371,9 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
         #   z = Pt^-1 (-g_s - A_w' nu);  inactive rows decouple to nu=0.
         Aw = As * w[:, None]
         S = _dot(Aw * pt_inv[None, :], Aw.T) + delta * eye
+        Sinv = jnp.linalg.inv(S) if use_inv else None
         rhs = _dot(Aw, pt_inv * (-g_s)) - w * b_act
-        nu = _pcg(S, rhs, nu0 * w, 200) * w
+        nu = _solve_spd(S, Sinv, rhs, nu0 * w, pcg_iters=200) * w
         z_pol = pt_inv * (-g_s - _dot(Aw.T, nu))
         # iterative refinement against the UNregularized KKT system: the
         # delta-regularized solve is only delta-accurate, which leaves the
@@ -366,8 +382,8 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
         for _ in range(2):
             r_z = -g_s - p_s * z_pol - _dot(Aw.T, nu)
             r_nu = w * b_act - _dot(Aw, z_pol)
-            dnu = _pcg(S, _dot(Aw, pt_inv * r_z) - r_nu,
-                       jnp.zeros_like(nu), 200) * w
+            dnu = _solve_spd(S, Sinv, _dot(Aw, pt_inv * r_z) - r_nu,
+                             jnp.zeros_like(nu), pcg_iters=200) * w
             z_pol = z_pol + pt_inv * (r_z - _dot(Aw.T, dnu))
             nu = nu + dnu
         # refinement: drop rows whose multiplier has the wrong sign for

@@ -121,7 +121,8 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
 
     scen_deltas, scen_weights, n_scen = jax.vmap(append_one)(
         state.scen_deltas, state.scen_weights, state.n_scen, new_deltas)
-    overflow = jnp.sum(jnp.maximum(state.n_scen + B - S, 0))
+    overflow = jnp.sum(jnp.maximum(state.n_scen + B - S, 0)).astype(
+        state.scen_dropped.dtype)
     total_weight = state.total_weight + B  # unit weights (algorithm.jl:46)
 
     # ---- 2+3. batched subproblem solves at candidate AND incumbent
@@ -270,17 +271,26 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
 @partial(jax.jit, static_argnames=("config", "n_steps"))
 def sd_run(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
            prep_sub: PreparedLP, state: SDState, config: SDConfig,
-           n_steps: int) -> Tuple[SDState, dict]:
-    """Run n_steps SD iterations fully on device.
+           n_steps: int, n: jax.Array | None = None
+           ) -> Tuple[SDState, dict]:
+    """Run up to n_steps SD iterations fully on device.
 
     The per-step host round trip dominates wall clock on a remote/tunneled
     TPU (measured ~100x slower than the compute itself); chunking the loop
     into one jit amortizes dispatch to one sync per chunk. Returns the final
     state plus per-iteration scalar stats stacked along axis 0.
+
+    ``n_steps`` (static) sizes the stats buffers; ``n`` (dynamic, defaults
+    to n_steps) is the actual trip count, so a final partial chunk reuses
+    the compiled full-chunk executable instead of recompiling — the
+    recompile used to cost more than the chunk's compute. Entries past
+    ``n`` in the returned stats are zero.
     """
-    state1, stats1 = sd_step(arrays, model, espec, prep_sub, state, config)
-    acc = {k: jnp.zeros((n_steps,), v.dtype).at[0].set(v)
-           for k, v in stats1.items() if v.ndim == 0}
+    shapes = jax.eval_shape(
+        lambda st: sd_step(arrays, model, espec, prep_sub, st, config)[1],
+        state)
+    acc = {k: jnp.zeros((n_steps,), v.dtype)
+           for k, v in shapes.items() if v.ndim == 0}
 
     def body(i, carry):
         state, acc = carry
@@ -288,5 +298,7 @@ def sd_run(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
         acc = {k: acc[k].at[i].set(stats[k]) for k in acc}
         return state, acc
 
-    state, acc = jax.lax.fori_loop(1, n_steps, body, (state1, acc))
+    state, acc = jax.lax.fori_loop(
+        0, n_steps if n is None else jnp.minimum(n, n_steps),
+        body, (state, acc))
     return state, acc

@@ -158,10 +158,13 @@ class SDSolver:
         done = 0
         while done < n_iters:
             n = min(chunk, n_iters - done)
+            # always compile the full-chunk executable; a partial final
+            # chunk passes its length dynamically instead of recompiling
             self.state, acc = sd_run(
                 self.arrays, self.inst.scenario_model, self.espec,
-                self.prep_sub, self.state, self.config, n)
-            acc = self._unscale({k: np.asarray(v) for k, v in acc.items()})
+                self.prep_sub, self.state, self.config, min(chunk, n_iters),
+                jnp.asarray(n, jnp.int32))
+            acc = self._unscale({k: np.asarray(v)[:n] for k, v in acc.items()})
             done += n
             # Failure path (reference: master failure dumps
             # error_model.mof.json and rethrows, algorithm.jl:104-110):
