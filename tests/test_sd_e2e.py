@@ -77,6 +77,27 @@ def test_determinism_same_seed():
     assert runs[0][2] == runs[1][2]
 
 
+def test_chunked_run_equivalence():
+    """Chunk boundaries are invisible: run(30) in one call equals
+    run(12)+run(18) bitwise. Exercises sd_run's dynamic trip count (a
+    partial chunk reuses the full-chunk executable; stats past n are
+    dropped by the driver)."""
+    require_instance("lands")
+    inst = load_instance("lands", dtype=jnp.float64)
+    a = SDSolver(inst, _CFG, x0=np.array([3.0, 3.0, 3.0, 3.0]), seed=13)
+    a.run(30, chunk=64)
+    b = SDSolver(inst, _CFG, x0=np.array([3.0, 3.0, 3.0, 3.0]), seed=13)
+    b.run(12, chunk=64)
+    b.run(18, chunk=64)
+    np.testing.assert_array_equal(a.x_candidate, b.x_candidate)
+    np.testing.assert_array_equal(a.x_incumbent, b.x_incumbent)
+    assert int(a.state.it) == int(b.state.it) == 30
+    # per-iteration stats cover exactly the requested iterations
+    a2 = SDSolver(inst, _CFG, x0=np.array([3.0, 3.0, 3.0, 3.0]), seed=13)
+    a2.run(30, chunk=64, log_every=1)
+    assert [h["it"] for h in a2.history] == list(range(1, 31))
+
+
 def test_infeasible_x0_projected():
     """An infeasible start must be projected onto the first-stage polytope:
     the SD incumbent test ignores first-stage feasibility, so an infeasible
