@@ -54,6 +54,13 @@ class PDHGConfig:
     # Smallest batch for which the ladder is built; below this a single
     # full-size phase (the classic loop) runs.
     compact_min_batch: int = 2048
+    # Candidate-iterate scheme inside a restart round:
+    #   "average" — running Polyak average, restart-to-average (PDLP);
+    #   "halpern" — reflected Halpern anchoring (r2HPDHG / cuPDLP+ style):
+    #     z_{k+1} = (k+1)/(k+2) * (2 T(z_k) - z_k) + 1/(k+2) * z_anchor,
+    #     anchor reset to the candidate at each restart. Typically needs
+    #     2-3x fewer iterations than restart-to-average on LP panels.
+    scheme: str = "halpern"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -64,7 +64,25 @@ class StoData:
 
 
 def read_sto(sto_path: str) -> StoData:
-    """Read a sto file (smps_sto.jl:41-111)."""
+    """Read a sto file (smps_sto.jl:41-111).
+
+    Uses the native C++ parser (csrc/smps_sto.cpp) when available; both
+    produce identical StoData (asserted in tests/test_native.py). Set
+    SQLP_TPU_NATIVE=0 to force this pure-Python path.
+    """
+    from sqlp_tpu.models.native import read_sto_native
+    try:
+        native = read_sto_native(sto_path)
+    except AssertionError:
+        raise
+    except Exception:
+        native = None
+    if native is not None:
+        return native
+    return read_sto_py(sto_path)
+
+
+def read_sto_py(sto_path: str) -> StoData:
     with open(sto_path, "r") as f:
         lines = [l for l in f.read().splitlines() if l and l[0] != "*"]
 

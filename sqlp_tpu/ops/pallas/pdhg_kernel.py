@@ -86,6 +86,115 @@ def _kernel(n_inner: int,
     Lsum_ref[:] = Ls * inv
 
 
+def _kernel_halpern(n_inner: int,
+                    K_ref, q_ref, lb_ref, ub_ref, eqmask_ref, ht_ref,
+                    tau_ref, sig_ref, Y_ref, L_ref, kh_ref,
+                    Yanc_ref, Lanc_ref,
+                    Yout_ref, Lout_ref, Ycand_ref, Lcand_ref):
+    """Reflected-Halpern round (r2HPDHG / cuPDLP+ scheme):
+
+        z_{k+1} = (k+1)/(k+2) * (2 T(z_k) - z_k) + 1/(k+2) * z_anchor
+
+    with T one PDHG step. The raw carry z may leave the dual cone /
+    primal box (the reflection is unprojected); the FEASIBLE candidate is
+    T(z), returned separately for residual checks and restarts.
+    """
+    K = K_ref[:]
+    q = q_ref[:]
+    lb = lb_ref[:]
+    ub = ub_ref[:]
+    eq = eqmask_ref[:]
+    ht = ht_ref[:]
+    tau = tau_ref[:]
+    sig = sig_ref[:]
+    kh = kh_ref[:]                    # [BLK, 1] steps since anchor reset
+    Yanc = Yanc_ref[:]
+    Lanc = Lanc_ref[:]
+
+    Khi, Klo = _split_bf16(K)
+
+    def body(t, carry):
+        Y, L, _, _ = carry
+        Lhi, Llo = _split_bf16(L)
+        G = q - _dot3(Lhi, Llo, Khi, Klo, ((1,), (0,)))
+        Y1 = jnp.clip(Y - tau * G, lb, ub)
+        Yb = 2.0 * Y1 - Y
+        Ybhi, Yblo = _split_bf16(Yb)
+        S = ht - _dot3(Ybhi, Yblo, Khi, Klo, ((1,), (1,)))
+        Lr = L + sig * S
+        L1 = eq * Lr + (1.0 - eq) * jnp.maximum(Lr, 0.0)
+        k = kh + t.astype(jnp.float32)
+        w = (k + 1.0) / (k + 2.0)
+        Y2 = w * Yb + (1.0 - w) * Yanc          # Yb == 2 Y1 - Y
+        L2 = w * (2.0 * L1 - L) + (1.0 - w) * Lanc
+        return Y2, L2, Y1, L1
+
+    Y0 = Y_ref[:]
+    L0 = L_ref[:]
+    Y, L, Yc, Lc = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(n_inner), body, (Y0, L0, Y0, L0))
+    Yout_ref[:] = Y
+    Lout_ref[:] = L
+    Ycand_ref[:] = Yc
+    Lcand_ref[:] = Lc
+
+
+@partial(jax.jit, static_argnames=("n_inner",))
+def pdhg_round_pallas_halpern(K, q, lb, ub, is_eq, ht, tau, sig, Y, L,
+                              kh, Yanc, Lanc, n_inner: int):
+    """Halpern round; returns (Ycarry, Lcarry, Ycand, Lcand)."""
+    B, m = ht.shape
+    n = K.shape[1]
+    assert B % BLK == 0, (B, BLK)
+    dt = K.dtype
+
+    q2 = q.reshape(1, n)
+    lb2 = lb.reshape(1, n)
+    ub2 = ub.reshape(1, n)
+    eq2 = is_eq.astype(dt).reshape(1, m)
+    tau2 = tau.reshape(B, 1)
+    sig2 = sig.reshape(B, 1)
+    kh2 = kh.astype(jnp.float32).reshape(B, 1)
+
+    grid = (B // BLK,)
+    row_spec = pl.BlockSpec((BLK, m), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((BLK, n), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    scl_spec = pl.BlockSpec((BLK, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        partial(_kernel_halpern, n_inner),
+        grid=grid,
+        in_specs=[
+            full(m, n), full(1, n), full(1, n), full(1, n), full(1, m),
+            row_spec, scl_spec, scl_spec, col_spec, row_spec,
+            scl_spec,            # kh
+            col_spec,            # Y anchor
+            row_spec,            # L anchor
+        ],
+        out_specs=[col_spec, row_spec, col_spec, row_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n), dt),
+            jax.ShapeDtypeStruct((B, m), dt),
+            jax.ShapeDtypeStruct((B, n), dt),
+            jax.ShapeDtypeStruct((B, m), dt),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n_inner * B * m * n,
+            bytes_accessed=(m * n + 3 * B * (m + n)) * 4,
+            transcendentals=0,
+        ),
+    )
+    with jax.enable_x64(False):
+        out = call(K, q2, lb2, ub2, eq2, ht, tau2, sig2, Y, L,
+                   kh2, Yanc, Lanc)
+    return tuple(out)
+
+
 @partial(jax.jit, static_argnames=("n_inner",))
 def pdhg_round_pallas(K, q, lb, ub, is_eq, ht, tau, sig, Y, L,
                       n_inner: int):

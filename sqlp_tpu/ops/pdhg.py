@@ -221,7 +221,8 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
                   and jax.default_backend() == "tpu"
                   and B_orig >= 512)
     if use_pallas:
-        from sqlp_tpu.ops.pallas.pdhg_kernel import BLK, pdhg_round_pallas
+        from sqlp_tpu.ops.pallas.pdhg_kernel import (
+            BLK, pdhg_round_pallas, pdhg_round_pallas_halpern)
         B = ((B_orig + BLK - 1) // BLK) * BLK
         if B != B_orig:
             H = jnp.concatenate(
@@ -243,19 +244,55 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
     eta = lp.step
     n_rounds = max(1, config.max_iters // config.restart_every)
 
-    def pd_round(Y, L, ht, omega, pallas_ok):
-        """restart_every PDHG steps + running (uniform) average.
+    halpern = config.scheme == "halpern"
+
+    def pd_round(el, pallas_ok):
+        """restart_every PDHG steps on one element-state dict.
 
         omega is per batch element: each scenario LP carries its own
         primal weight (tau = eta/omega, sigma = eta*omega elementwise).
+
+        Returns (Ycarry, Lcarry, candidates) where candidates is a list of
+        feasible (Y, L) iterates to consider for restart:
+          "average"  — [(last, ), (running average, )] (PDLP);
+          "halpern"  — [(T(z), )]: reflected Halpern anchoring (r2HPDHG),
+            z_{k+1} = (k+1)/(k+2) (2 T(z_k) - z_k) + 1/(k+2) z_anchor;
+            the raw carry z is unprojected, only T(z) is feasible.
         """
+        Y, L, ht, omega = el["Y"], el["L"], el["ht"], el["omega"]
         tau = (eta / omega)[:, None]
         sig = (eta * omega)[:, None]
 
+        if halpern:
+            kh, Yanc, Lanc = el["kh"], el["Yanc"], el["Lanc"]
+            if pallas_ok:
+                Y, L, Yc, Lc = pdhg_round_pallas_halpern(
+                    lp.K, lp.q, lb, ub, lp.is_eq, ht, tau[:, 0], sig[:, 0],
+                    Y, L, kh, Yanc, Lanc, config.restart_every)
+                return Y, L, [(Yc, Lc)]
+
+            def body(t, carry):
+                Y, L, _, _ = carry
+                G = lp.q[None, :] - _dot(L, lp.K)
+                Y1 = jnp.clip(Y - tau * G, lb, ub)
+                Yb = 2.0 * Y1 - Y
+                S = ht - _dot(Yb, lp.K.T)
+                L1 = _project_dual(L + sig * S, lp.is_eq)
+                k = (kh + t)[:, None].astype(dtype)
+                w = (k + 1.0) / (k + 2.0)
+                Y2 = w * Yb + (1.0 - w) * Yanc        # Yb == 2 Y1 - Y
+                L2 = w * (2.0 * L1 - L) + (1.0 - w) * Lanc
+                return Y2, L2, Y1, L1
+
+            Y, L, Yc, Lc = jax.lax.fori_loop(
+                0, config.restart_every, body, (Y, L, Y, L))
+            return Y, L, [(Yc, Lc)]
+
         if pallas_ok:
-            return pdhg_round_pallas(
+            Y, L, Ya, La = pdhg_round_pallas(
                 lp.K, lp.q, lb, ub, lp.is_eq, ht, tau[:, 0], sig[:, 0],
                 Y, L, config.restart_every)
+            return Y, L, [(Y, L), (Ya, La)]
 
         def body(_, carry):
             Y, L, Ys, Ls, cnt = carry
@@ -267,19 +304,20 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
 
         init = (Y, L, jnp.zeros_like(Y), jnp.zeros_like(L), jnp.zeros((), dtype))
         Y, L, Ys, Ls, cnt = jax.lax.fori_loop(0, config.restart_every, body, init)
-        return Y, L, Ys / cnt, Ls / cnt
+        return Y, L, [(Y, L), (Ys / cnt, Ls / cnt)]
 
     def round_step(el, pallas_ok):
         """One restart round on a dict of per-element state."""
-        Y1, L1, Ya, La = pd_round(el["Y"], el["L"], el["ht"], el["omega"],
-                                  pallas_ok)
+        Ycarry, Lcarry, cands = pd_round(el, pallas_ok)
 
-        err_cur, _ = _kkt_residuals(lp, el["ht"], Y1, L1)
-        err_avg, _ = _kkt_residuals(lp, el["ht"], Ya, La)
-        use_avg = err_avg < err_cur                      # [B]
-        Yc = jnp.where(use_avg[:, None], Ya, Y1)
-        Lc = jnp.where(use_avg[:, None], La, L1)
-        err = jnp.minimum(err_avg, err_cur)
+        Yc, Lc = cands[0]
+        err, _ = _kkt_residuals(lp, el["ht"], Yc, Lc)
+        for Yo, Lo in cands[1:]:
+            err_o, _ = _kkt_residuals(lp, el["ht"], Yo, Lo)
+            use_o = err_o < err                          # [B]
+            Yc = jnp.where(use_o[:, None], Yo, Yc)
+            Lc = jnp.where(use_o[:, None], Lo, Lc)
+            err = jnp.minimum(err_o, err)
 
         # Latch the best iterate seen so far per batch element.
         better = err < el["err_best"]
@@ -317,14 +355,22 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
         omega_new = jnp.clip(omega_new, el["olo"], el["ohi"])
 
         r = restart[:, None]
-        return dict(
+        out = dict(
             el,
-            Y=jnp.where(r, Yc, Y1), L=jnp.where(r, Lc, L1),
+            Y=jnp.where(r, Yc, Ycarry), L=jnp.where(r, Lc, Lcarry),
             Yr=jnp.where(r, Yc, el["Yr"]), Lr=jnp.where(r, Lc, el["Lr"]),
             Yb=Yb, Lb=Lb,
             omega=jnp.where(restart, omega_new, omega),
             err_r=jnp.where(restart, err, el["err_r"]),
             err_last=err, err_best=err_best, done=done, stall=stall)
+        if halpern:
+            # anchor reset + step counter per element: a restarted element
+            # re-anchors at its candidate, others keep accumulating k
+            out["kh"] = jnp.where(restart, 0.0,
+                                  el["kh"] + config.restart_every)
+            out["Yanc"] = jnp.where(r, Yc, el["Yanc"])
+            out["Lanc"] = jnp.where(r, Lc, el["Lanc"])
+        return out
 
     if Y0 is None:
         Yi = jnp.clip(jnp.zeros((B, n), dtype), lb, ub)
@@ -352,6 +398,8 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
         err_r=err0, err_last=err0, err_best=err0,
         done=jnp.zeros((B,), bool), stall=jnp.zeros((B,), jnp.int32),
         orig=jnp.arange(B, dtype=jnp.int32))
+    if config.scheme == "halpern":
+        el.update(kh=jnp.zeros((B,), dtype), Yanc=Yi, Lanc=Li)
 
     # Batch compaction ladder. PDHG convergence across a scenario panel is
     # heavily skewed (measured on ssn B=4096 tol 1e-4: 55% of elements done

@@ -3,8 +3,9 @@
 import numpy as np
 import pytest
 
-from sqlp_tpu.models.native import get_lib, read_cor_native
+from sqlp_tpu.models.native import get_lib, read_cor_native, read_sto_native
 from sqlp_tpu.models.smps_cor import read_cor_py
+from sqlp_tpu.models.smps_sto import read_sto_py
 
 from conftest import require_instance
 
@@ -36,3 +37,46 @@ def test_native_rejects_bad_file(tmp_path):
     p.write_text("ROWS\n L  C1\nENDATA\n")  # first row not 'N'
     with pytest.raises(AssertionError):
         read_cor_native(str(p))
+
+
+@pytest.mark.parametrize("name", ["lands", "transship", "baa99-20",
+                                  "storm", "ssn"])
+def test_native_sto_parity(name):
+    path = require_instance(name) + f"/{name}.sto"
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    a = read_sto_native(path)
+    b = read_sto_py(path)
+    assert a.problem_name == b.problem_name
+    assert list(a.indep.keys()) == list(b.indep.keys())  # order preserved
+    for pos in b.indep:
+        assert a.indep[pos] == b.indep[pos], pos
+
+
+def test_native_sto_continuous(tmp_path):
+    """NORMAL/UNIFORM marginals and later-duplicate overwrite semantics."""
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    p = tmp_path / "t.sto"
+    p.write_text(
+        "STOCH  T\n"
+        "INDEP  NORMAL\n"
+        "    RHS    R1    4.0   2.0\n"
+        "INDEP  UNIFORM\n"
+        "    RHS    R2    1.0   3.0\n"
+        "    RHS    R1    0.0   9.0\n"   # overwrites R1 as uniform
+        "ENDATA\n")
+    a = read_sto_native(str(p))
+    b = read_sto_py(str(p))
+    assert list(a.indep.keys()) == list(b.indep.keys())
+    for pos in b.indep:
+        assert a.indep[pos] == b.indep[pos], pos
+
+
+def test_native_sto_rejects_bad_section(tmp_path):
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    p = tmp_path / "bad.sto"
+    p.write_text("STOCH X\nBLOCKS DISCRETE\nENDATA\n")
+    with pytest.raises(AssertionError):
+        read_sto_native(str(p))

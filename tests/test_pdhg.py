@@ -37,8 +37,9 @@ def _make_batch(inst, key, B, x):
 _FEASIBLE_X = {"lands": 5.0, "transship": 0.0, "baa99-20": 0.0}
 
 
+@pytest.mark.parametrize("scheme", ["halpern", "average"])
 @pytest.mark.parametrize("name,B", [("lands", 8), ("transship", 8)])
-def test_pdhg_matches_highs(name, B):
+def test_pdhg_matches_highs(name, B, scheme):
     require_instance(name)
     inst = load_instance(name, dtype=jnp.float64)
     key = jax.random.PRNGKey(0)
@@ -47,7 +48,7 @@ def test_pdhg_matches_highs(name, B):
 
     lp = prepare_lp(inst.arrays.W, inst.arrays.senses2, inst.arrays.q,
                     inst.arrays.lb2, inst.arrays.ub2)
-    cfg = PDHGConfig(tol=1e-9, max_iters=100_000)
+    cfg = PDHGConfig(tol=1e-9, max_iters=100_000, scheme=scheme)
     obj, Y, Pi, stats = solve_batch(lp, jnp.asarray(H), cfg)
     assert bool(stats["pdhg_converged"]), f"PDHG did not converge: {stats}"
 
