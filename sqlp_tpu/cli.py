@@ -151,28 +151,28 @@ def _solve_replicated(args, config, inst, espec, x0) -> int:
     the reference planned this as a plugin and left it empty,
     src/sd_algorithm/plugin/compromise.jl)."""
     from sqlp_tpu.sd.compromise import compromise_decision
-    from sqlp_tpu.sd.driver import SDSolver
+    from sqlp_tpu.sd.driver import SDReplications
 
     R = args.replications
-    solvers = []
     t0 = time.time()
+    # all R replications advance together in one batched device program
+    s = SDReplications(inst, config, n_replications=R, espec=espec, x0=x0,
+                       seed=args.seed, n_epi=args.epigraphs)
+    s.run(args.iters)
     for r in range(R):
-        s = SDSolver(inst, config, espec=espec, x0=x0, seed=args.seed + r,
-                     n_epi=args.epigraphs)
-        s.run(args.iters)
-        ub = s.evaluate(n_samples=args.eval_samples, seed=args.seed + 10_000)
-        print(f"replication {r}: lb_est={s.lower_estimate:.6f} "
+        ub = s.evaluate(x=s.x_incumbents[r], n_samples=args.eval_samples,
+                        seed=args.seed + 10_000)
+        print(f"replication {r}: lb_est={s.lower_estimates[r]:.6f} "
               f"mc_ub={ub:.6f}", file=sys.stderr)
-        solvers.append(s)
     x_comp, info = compromise_decision(
-        inst, [s.state for s in solvers], [s.espec for s in solvers],
+        inst, s.states, s.especs,
         rho=args.compromise_rho, qp_config=config.qp,
-        obj_scale=solvers[0].obj_scale)
-    ub_comp = solvers[0].evaluate(x=x_comp, n_samples=args.eval_samples,
-                                  seed=args.seed + 20_000)
-    ub_bar = solvers[0].evaluate(x=info["x_bar"],
-                                 n_samples=args.eval_samples,
-                                 seed=args.seed + 20_000)
+        obj_scale=s.obj_scale)
+    ub_comp = s.evaluate(x=x_comp, n_samples=args.eval_samples,
+                         seed=args.seed + 20_000)
+    ub_bar = s.evaluate(x=info["x_bar"],
+                        n_samples=args.eval_samples,
+                        seed=args.seed + 20_000)
     print(f"done: {R} x {args.iters} iters in {time.time() - t0:.1f}s",
           file=sys.stderr)
     print(f"mc_ub_compromise={ub_comp:.6f} mc_ub_average={ub_bar:.6f}")

@@ -92,12 +92,13 @@ class QPConfig:
     stall_restarts: int = 4
     # A stall exit is only allowed when the best error is already within
     # this factor of the (dtype-clamped) tolerance: a true numeric floor
-    # sits just above tol (ssn f32: 2e-4 vs 6e-5), while a stall orders of
-    # magnitude out means the iterate is genuinely unfinished — returning
-    # it can hand the SD loop an x outside the induced-feasible region
-    # (observed on lands, where a ~1e-5-feasible master x made the
-    # second-stage LP infeasible). Those solves run their full budget.
-    stall_tol_factor: float = 100.0
+    # sits just above tol (ssn f32: 2e-4 vs 6e-5 = 3.3x; the lands
+    # compromise QP creeps at 1.6x), while a stall an order of magnitude
+    # out means the iterate is genuinely unfinished — exiting there hands
+    # back an x whose KKT error the final polish cannot always close
+    # (observed at factor 100 on the lands compromise QP, which exited at
+    # 1e-5 against tol 1e-7 and failed). Those solves run their budget.
+    stall_tol_factor: float = 10.0
 
 
 @dataclasses.dataclass(frozen=True)

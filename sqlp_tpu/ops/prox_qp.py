@@ -255,15 +255,18 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
         # `stall_restarts` fruitless restarts do we declare a numeric floor
         # and give up (ssn f32 masters, whose floor sits above the clamped
         # tolerance). Best-iterate tracking makes restarts free.
-        restarts = jnp.where(stalled_win, restarts + 1, restarts)
-        # give up only when the plateau sits near the tolerance (a dtype
-        # floor); a stall orders of magnitude out runs the full budget —
-        # returning a barely-feasible x breaks induced feasibility
+        # The whole stall apparatus (forced kicks AND the give-up) only
+        # engages when the plateau sits near the tolerance (a dtype floor);
+        # a stall orders of magnitude out runs the full budget under the
+        # plain deadband adaptation — forced decade-kicks there destroy
+        # the gentle rebalance path that eventually unlocks such solves,
+        # and returning a barely-feasible x breaks induced feasibility
         # downstream (see QPConfig.stall_tol_factor).
         near_tol = err_best <= config.stall_tol_factor * eff_tol
-        stalled = jnp.logical_and(
-            jnp.logical_and(stalled_win, near_tol),
-            restarts > config.stall_restarts)
+        stalled_win = jnp.logical_and(stalled_win, near_tol)
+        restarts = jnp.where(stalled_win, restarts + 1, restarts)
+        stalled = jnp.logical_and(stalled_win,
+                                  restarts > config.stall_restarts)
         # OSQP rho adaptation: rebalance the penalty toward the lagging
         # residual (refactorization is O(nz^3) on a tiny matrix, once per
         # check interval). Fixed rho stalls on badly conditioned masters.
@@ -348,17 +351,22 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
     fin_l = l_s > -1e29
     fin_u = u_s < 1e29
 
-    # initial active set: dual magnitude (relative threshold only: mu lives
-    # in scaled units where any absolute floor swamps the signal) OR primal
-    # proximity of the ADMM iterate to a finite bound.
+    # Active-set seeds. Dual magnitude (relative threshold only: mu lives
+    # in scaled units where any absolute floor swamps the signal) is exact
+    # when the ADMM iterate has settled; primal proximity additionally
+    # captures rows whose multiplier is still noisy after a stall-cutoff
+    # exit. Neither dominates: proximity can over-constrain a degenerate
+    # QP (weakly-active rows forced as equalities push the primal off),
+    # dual-only can miss rows a mid-kick mu underestimates — so BOTH seeds
+    # are refined below and the best KKT iterate wins.
     act_eps = 1e-4 * jnp.max(jnp.abs(mu)) + 1e-30
     Az_s = _dot(As, z)
     near_l = jnp.logical_and(fin_l, Az_s - lc < 1e-5 * (1.0 + jnp.abs(lc)))
     near_u = jnp.logical_and(fin_u, uc - Az_s < 1e-5 * (1.0 + jnp.abs(uc)))
-    active = jnp.logical_or(jnp.abs(mu) > act_eps,
-                            jnp.logical_or(near_l, near_u))
+    strong = jnp.abs(mu) > act_eps
+    active_union = jnp.logical_or(strong, jnp.logical_or(near_l, near_u))
     # per-row side: the sign of mu where it speaks, else the nearer bound
-    side_l = jnp.where(jnp.abs(mu) > act_eps, mu < 0, near_l)
+    side_l = jnp.where(strong, mu < 0, near_l)
 
     def polish_pass(carry):
         side_l, active, nu0 = carry
@@ -402,17 +410,62 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
 
     err_admm = kkt_err(z, mu)
     best_z, best_mu, best_err = z, mu, err_admm
-    carry = (side_l, active, mu)
-    for _ in range(3):
-        carry, (z_pol, nu) = polish_pass(carry)
-        finite = jnp.logical_and(jnp.all(jnp.isfinite(z_pol)),
-                                 jnp.all(jnp.isfinite(nu)))
-        err_pol = jnp.where(finite, kkt_err(z_pol, nu),
-                            jnp.asarray(jnp.inf, dtype))
-        take = err_pol < best_err
-        best_z = jnp.where(take, z_pol, best_z)
-        best_mu = jnp.where(take, nu, best_mu)
-        best_err = jnp.minimum(err_pol, best_err)
+    for seed in (strong, active_union):
+        carry = (side_l, seed, mu)
+        for _ in range(3):
+            carry, (z_pol, nu) = polish_pass(carry)
+            finite = jnp.logical_and(jnp.all(jnp.isfinite(z_pol)),
+                                     jnp.all(jnp.isfinite(nu)))
+            err_pol = jnp.where(finite, kkt_err(z_pol, nu),
+                                jnp.asarray(jnp.inf, dtype))
+            take = err_pol < best_err
+            best_z = jnp.where(take, z_pol, best_z)
+            best_mu = jnp.where(take, nu, best_mu)
+            best_err = jnp.minimum(err_pol, best_err)
+    # Final candidate: primal repair of the best iterate. An ADMM exit is
+    # often primal-lagging (dres 1e-9, pres 2e-7 on the lands compromise
+    # QP) at a weakly-separated vertex where no active-set seed
+    # discriminates the spurious row; relaxed hyperplane-projection sweeps
+    # on the violated rows close the primal gap with an O(violation) move
+    # that leaves dual stationarity intact (the gradient shifts by
+    # p_diag * dz ~ p * pres).
+    rown2 = jnp.maximum(jnp.sum(As * As, axis=1), 1e-30)
+
+    def _repair(_, zc):
+        Az = _dot(As, zc)
+        viol = (jnp.maximum(Az - uc, 0.0) + jnp.minimum(Az - lc, 0.0))
+        return zc - _dot(As.T, viol / rown2)
+
+    z_rep = jax.lax.fori_loop(0, 4, _repair, best_z)
+    err_rep = kkt_err(z_rep, best_mu)
+    take_rep = jnp.logical_and(jnp.all(jnp.isfinite(z_rep)),
+                               err_rep < best_err)
+    best_z = jnp.where(take_rep, z_rep, best_z)
+    best_err = jnp.minimum(err_rep, best_err)
+
+    # ... and the dual analog for dual-lagging exits (pres 2e-8, dres
+    # 1.4e-7 seen on a batched-replication compromise QP): one regularized
+    # least-squares multiplier correction against the stationarity
+    # residual over the rows tight at (or dual-supported by) the kept
+    # iterate, leaving the primal untouched.
+    Azb = _dot(As, best_z)
+    tight = jnp.logical_or(
+        jnp.logical_and(fin_l, Azb - lc < 1e-6 * (1.0 + jnp.abs(lc))),
+        jnp.logical_and(fin_u, uc - Azb < 1e-6 * (1.0 + jnp.abs(uc))))
+    wd = jnp.logical_or(jnp.abs(best_mu) > act_eps, tight).astype(dtype)
+    r_s = p_s * best_z + g_s + _dot(As.T, best_mu)
+    Awd = As * wd[:, None]
+    Sd = _dot(Awd, Awd.T) + delta * eye
+    Sdinv = jnp.linalg.inv(Sd) if use_inv else None
+    dmu = _solve_spd(Sd, Sdinv, -_dot(Awd, r_s),
+                     jnp.zeros_like(best_mu), pcg_iters=200) * wd
+    mu_rep = best_mu + dmu
+    err_drep = kkt_err(best_z, mu_rep)
+    take_drep = jnp.logical_and(jnp.all(jnp.isfinite(mu_rep)),
+                                err_drep < best_err)
+    best_mu = jnp.where(take_drep, mu_rep, best_mu)
+    best_err = jnp.minimum(err_drep, best_err)
+
     z, mu, err_final = best_z, best_mu, best_err
     take = err_final < err_admm
 

@@ -232,8 +232,27 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
                                z0=state.master_z, mu0=state.master_mu)
     # ADMM converges in a relative sense; clip residual bound violations so
     # the candidate is always box-feasible (a slightly-negative component
-    # made storm's recourse infeasible and poisoned the dual pool).
+    # made storm's recourse infeasible and poisoned the dual pool), then
+    # repair residual general-row violations by a few relaxed hyperplane
+    # -projection sweeps: a candidate short of a stage-1 row by ~1e-6
+    # (the master's stall-exit tolerance on lands' capacity row) has an
+    # INFEASIBLE second stage at exact-oracle tolerances. Violations are
+    # already tiny, so the O(violation) move is objective-neutral and a
+    # handful of sweeps reaches oracle feasibility.
     x_candidate = jnp.clip(z[:n1], arrays.lb1, arrays.ub1)
+    rownorm2 = jnp.maximum(jnp.sum(arrays.A1 * arrays.A1, axis=1), 1e-30)
+
+    def _repair_sweep(_, x):
+        Ax = jnp.matmul(arrays.A1, x, precision=_PREC)
+        resid = Ax - arrays.b1
+        viol = jnp.where(
+            arrays.senses1 == 1, jnp.minimum(resid, 0.0),        # '>='
+            jnp.where(arrays.senses1 == -1,
+                      jnp.maximum(resid, 0.0), resid))           # '<=' / '=='
+        x = x - jnp.matmul(arrays.A1.T, viol / rownorm2, precision=_PREC)
+        return jnp.clip(x, arrays.lb1, arrays.ub1)
+
+    x_candidate = jax.lax.fori_loop(0, 4, _repair_sweep, x_candidate)
     cut_dual = cut_dual_slice(mu, m1, n1, E, K)
 
     new_state = _dc.replace(
@@ -302,3 +321,44 @@ def sd_run(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
         0, n_steps if n is None else jnp.minimum(n, n_steps),
         body, (state, acc))
     return state, acc
+
+
+@partial(jax.jit, static_argnames=("config", "n_steps"))
+def sd_run_replicated(arrays: InstanceArrays, model: ScenarioModel,
+                      espec: EpigraphSpec, prep_sub: PreparedLP,
+                      states: SDState, config: SDConfig,
+                      n_steps: int, n: jax.Array | None = None
+                      ) -> Tuple[SDState, dict]:
+    """Advance R independent SD replications together, fully on device.
+
+    ``states`` is an SDState pytree with a leading replication axis R
+    (tree-stacked). One batched program runs all replications in lockstep:
+    subproblem panels solve as [R, 2EB] batched PDHG and the R master QPs
+    batch their matvecs — R-fold device utilization vs sequential
+    replications on an underfilled chip (the compromise-decision workflow,
+    sd/compromise.py, needs R independent runs by construction).
+
+    Trajectories are deterministic for fixed (seeds, R) but not bitwise
+    equal to sequential runs: vmapped while_loops step every replication
+    until the slowest one's stopping test, and the best-iterate latches
+    inside the PDHG/QP solvers can only improve with the extra rounds.
+
+    Returns (states, acc) with per-iteration, per-replication scalar stats
+    stacked as [n_steps, R]; entries past ``n`` are zero.
+    """
+    step = jax.vmap(
+        lambda st: sd_step(arrays, model, espec, prep_sub, st, config))
+    shapes = jax.eval_shape(lambda sts: step(sts)[1], states)
+    acc = {k: jnp.zeros((n_steps,) + v.shape, v.dtype)
+           for k, v in shapes.items() if v.ndim == 1}
+
+    def body(i, carry):
+        states, acc = carry
+        states, stats = step(states)
+        acc = {k: acc[k].at[i].set(stats[k]) for k in acc}
+        return states, acc
+
+    states, acc = jax.lax.fori_loop(
+        0, n_steps if n is None else jnp.minimum(n, n_steps),
+        body, (states, acc))
+    return states, acc

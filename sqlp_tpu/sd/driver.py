@@ -303,3 +303,88 @@ def solve_instance(name_or_dir: str, n_iters: int = 1000,
     if verbose:
         print(f"[{inst.name}] {n_iters} iters in {time.time() - t0:.1f}s")
     return solver
+
+
+class SDReplications(SDSolver):
+    """R independent SD replications advanced together in one batched
+    device program (sd_run_replicated).
+
+    The compromise-decision workflow (sd/compromise.py, the reference's
+    empty plugin src/sd_algorithm/plugin/compromise.jl) needs R independent
+    runs by construction; running them sequentially leaves the chip
+    underfilled at the SD loop's small per-step batch. Here ``self.state``
+    carries a leading replication axis R; everything else (instance
+    compilation, scaling, projection, evaluation) is inherited.
+
+    Replication r uses PRNGKey(seed + r) — replication 0's trajectory uses
+    the same key as a sequential ``SDSolver(seed=seed)`` run, but batched
+    trajectories are not bitwise-equal to sequential ones (vmapped inner
+    while_loops run every replication until the slowest one's stopping
+    test; the best-iterate latches can only improve with extra rounds).
+    """
+
+    def __init__(self, inst: Instance, config: SDConfig = SDConfig(),
+                 n_replications: int = 2,
+                 espec: Optional[EpigraphSpec] = None,
+                 x0=None, seed: int = 0, n_epi: int = 1):
+        assert n_replications >= 1
+        super().__init__(inst, config, espec=espec, x0=x0, seed=seed,
+                         n_epi=n_epi)
+        self.n_replications = n_replications
+        base = self.state
+        states = [dataclasses.replace(base, key=jax.random.PRNGKey(seed + r))
+                  for r in range(n_replications)]
+        self.state = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+    def run(self, n_iters: int, log_every: int = 0,
+            callback: Optional[Callable[[int, Dict], None]] = None,
+            chunk: int = 64) -> Dict:
+        """Run n_iters iterations on every replication; returns the last
+        iteration's stats ([R]-shaped entries)."""
+        from sqlp_tpu.sd.algorithm import sd_run_replicated
+
+        last: Dict = {}
+        done = 0
+        while done < n_iters:
+            n = min(chunk, n_iters - done)
+            self.state, acc = sd_run_replicated(
+                self.arrays, self.inst.scenario_model, self.espec,
+                self.prep_sub, self.state, self.config, min(chunk, n_iters),
+                jnp.asarray(n, jnp.int32))
+            acc = self._unscale({k: np.asarray(v)[:n] for k, v in acc.items()})
+            done += n
+            if not np.all(np.isfinite(acc["cand_est"])):
+                from sqlp_tpu.utils.checkpoint import save_state
+                dump = os.path.abspath("error_state.npz")
+                save_state(dump, self.state, instance=self.inst.name)
+                raise FloatingPointError(
+                    f"non-finite candidate estimate in a replication; "
+                    f"batched state dumped to {dump}")
+            if log_every:
+                for j in range(n):
+                    it = int(acc["it"][j, 0])
+                    if it % log_every == 0:
+                        self.history.append(
+                            {k: acc[k][j] for k in acc})
+            last = {k: acc[k][-1] for k in acc}
+            if callback:
+                callback(done, last)
+        return last
+
+    @property
+    def states(self) -> List[SDState]:
+        """Per-replication SDState views (for compromise_decision)."""
+        return [jax.tree.map(lambda a: a[r], self.state)
+                for r in range(self.n_replications)]
+
+    @property
+    def especs(self) -> List[EpigraphSpec]:
+        return [self.espec] * self.n_replications
+
+    @property
+    def x_incumbents(self) -> np.ndarray:
+        return np.asarray(self.state.x_incumbent)     # [R, n1]
+
+    @property
+    def lower_estimates(self) -> np.ndarray:
+        return np.asarray(self.state.cand_est) * self.obj_scale

@@ -43,3 +43,42 @@ def test_lands_compromise():
     assert abs(cost - 381.8533333) < 3.0
     lb = np.asarray(inst.arrays.lb1)
     assert np.all(x >= lb - 1e-6)
+
+
+def test_replications_batched_matches_sequential():
+    """SDReplications (one vmapped device program) produces per-replication
+    trajectories statistically equivalent to sequential SDSolver runs with
+    the same seeds, and its states feed compromise_decision."""
+    require_instance("lands")
+    from sqlp_tpu.sd.driver import SDReplications
+    inst = load_instance("lands", dtype=jnp.float64)
+    x0 = np.array([3.0, 3.0, 3.0, 3.0])
+
+    batched = SDReplications(inst, _CFG, n_replications=3, x0=x0, seed=1)
+    batched.run(150)
+
+    # every replication's incumbent is near-optimal under the exact
+    # 3-scenario expectation (same bar the sequential e2e test uses)
+    from sqlp_tpu.models.routines import solve_problem
+    from sqlp_tpu.models.smps_tim import Position
+    for r in range(3):
+        x = batched.x_incumbents[r]
+        cost = float(np.asarray(inst.arrays.c) @ x)
+        for v, p in zip([3.0, 5.0, 7.0], [0.3, 0.4, 0.3]):
+            obj, _, _ = solve_problem(inst.sp2, x,
+                                      [(Position("RHS", "S2C5"), v)])
+            cost += p * obj
+        assert abs(cost - 381.8533333) < 3.0, (r, cost)
+
+    # the batched states drive the compromise decision
+    x_comp, info = compromise_decision(
+        inst, batched.states, batched.especs,
+        rho=1.0, qp_config=QPConfig(tol=1e-7, max_iters=8_000),
+        obj_scale=batched.obj_scale)
+    assert bool(info["qp_converged"])
+    cost = float(np.asarray(inst.arrays.c) @ x_comp)
+    for v, p in zip([3.0, 5.0, 7.0], [0.3, 0.4, 0.3]):
+        obj, _, _ = solve_problem(inst.sp2, x_comp,
+                                  [(Position("RHS", "S2C5"), v)])
+        cost += p * obj
+    assert abs(cost - 381.8533333) < 3.0
