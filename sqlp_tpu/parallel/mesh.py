@@ -38,17 +38,29 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devs), (axis_name,))
 
 
-def state_pspecs(axis_name: str = SCENARIO_AXIS):
-    """PartitionSpec pytree for SDState (field-name keyed)."""
+def state_pspecs(axis_name: str = SCENARIO_AXIS,
+                 shard_duals: bool = False):
+    """PartitionSpec pytree for SDState (field-name keyed).
+
+    ``shard_duals`` additionally shards the dual-vertex pool over the same
+    mesh axis (the north-star's second scaling axis: the argmax matmul is
+    [D,R]x[R,S], and at large pool capacities the replicated [D, m2] pool
+    dominates per-device memory). The step function is written in global
+    view, so no op changes — XLA inserts the cross-shard max/psum for the
+    argmax reduction and the dedup compare. Leave off (replicated) for
+    small pools, where the collectives cost more than they save.
+    """
     s = P(None, axis_name)          # [E, S]
     s3 = P(None, axis_name, None)   # [E, S, R]
+    d = P(axis_name, None) if shard_duals else P()   # [D, m2]
+    d1 = P(axis_name) if shard_duals else P()        # [D]
     r = P()                         # replicated
     return dict(
         key=r, it=r,
         scen_deltas=s3, scen_weights=s, n_scen=r, total_weight=r,
         scen_dropped=r,
-        duals=r, duals_rounded=r, n_duals=r, duals_dropped=r,
-        duals_score=r,
+        duals=d, duals_rounded=d, n_duals=r, duals_dropped=r,
+        duals_score=d1,
         cut_alpha=r, cut_beta=r, cut_mark=r, cut_live=r, cut_dual=r,
         inc_alpha=r, inc_beta=r, inc_valid=r,
         x_candidate=r, x_incumbent=r,
@@ -59,15 +71,17 @@ def state_pspecs(axis_name: str = SCENARIO_AXIS):
     )
 
 
-def state_shardings(mesh: Mesh, axis_name: str = SCENARIO_AXIS):
+def state_shardings(mesh: Mesh, axis_name: str = SCENARIO_AXIS,
+                    shard_duals: bool = False):
     """NamedSharding pytree matching SDState's dataclass fields."""
-    specs = state_pspecs(axis_name)
+    specs = state_pspecs(axis_name, shard_duals=shard_duals)
     return {k: NamedSharding(mesh, v) for k, v in specs.items()}
 
 
-def shard_state(state, mesh: Mesh, axis_name: str = SCENARIO_AXIS):
+def shard_state(state, mesh: Mesh, axis_name: str = SCENARIO_AXIS,
+                shard_duals: bool = False):
     """Place an SDState's arrays according to the sharding plan."""
-    sh = state_shardings(mesh, axis_name)
+    sh = state_shardings(mesh, axis_name, shard_duals=shard_duals)
     kw = {f.name: jax.device_put(getattr(state, f.name), sh[f.name])
           for f in dataclasses.fields(state)}
     return dataclasses.replace(state, **kw)

@@ -115,3 +115,42 @@ def test_weighted_epigraphs_unequal():
     solver.run(250)
     ub = solver.evaluate(n_samples=4000)
     assert abs(ub - 381.8533) < 6.0
+
+
+def test_dual_pool_sharded_matches_single_device():
+    """With the dual-vertex pool ALSO sharded over the mesh (the north
+    star's second scaling axis), the sharded trajectory still matches the
+    unsharded run — the step is written in global view, so XLA inserts
+    the cross-shard argmax/dedup collectives."""
+    require_instance("lands")
+    assert jax.device_count() >= 8
+    inst = load_instance("lands", dtype=jnp.float64)
+    espec = default_epigraph_spec(1, 1.0, 0.0, dtype=jnp.float64)
+    x0 = np.array([3.0, 3.0, 3.0, 3.0])
+
+    from sqlp_tpu.ops.pdhg import prepare_lp
+    prep = prepare_lp(inst.arrays.W, inst.arrays.senses2, inst.arrays.q,
+                      inst.arrays.lb2, inst.arrays.ub2)
+
+    s1 = init_state(inst, espec, _CFG, x0, jax.random.PRNGKey(3))
+    for _ in range(12):
+        s1, _ = sd_step(inst.arrays, inst.scenario_model, espec, prep,
+                        s1, _CFG)
+
+    mesh = make_mesh(8)
+    arrays = replicate(inst.arrays, mesh)
+    model = replicate(inst.scenario_model, mesh)
+    espec_r = replicate(espec, mesh)
+    prep_r = replicate(prep, mesh)
+    s8 = shard_state(init_state(inst, espec, _CFG, x0,
+                                jax.random.PRNGKey(3)), mesh,
+                     shard_duals=True)
+    for _ in range(12):
+        s8, _ = sd_step(arrays, model, espec_r, prep_r, s8, _CFG)
+
+    np.testing.assert_allclose(np.asarray(s1.x_candidate),
+                               np.asarray(s8.x_candidate), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(s1.x_incumbent),
+                               np.asarray(s8.x_incumbent), atol=1e-8)
+    assert abs(int(s1.n_duals) - int(s8.n_duals)) <= 1
+    assert int(jnp.sum(s1.cut_live)) == int(jnp.sum(s8.cut_live))
