@@ -67,7 +67,8 @@ def cmd_solve(args) -> int:
         return _solve_replicated(args, config, inst, espec, x0)
 
     solver = SDSolver(inst, config, espec=espec, x0=x0, seed=args.seed,
-                      n_epi=E)
+                      n_epi=E, mesh_devices=args.mesh,
+                      shard_duals=args.shard_duals)
     print(f"recourse lower bound: {solver.recourse_lb:.6g}"
           + (" (auto)" if args.epi_lb is None
              else f" (user: {args.epi_lb:g})"), flush=True)
@@ -232,6 +233,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     def common(sp):
         sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--mesh", type=int, default=0,
+                        help="shard scenario stores over this many devices "
+                             "(1-D jax.sharding.Mesh; 0 = single device). "
+                             "Multi-host: initialize jax.distributed first")
+        sp.add_argument("--shard-duals", action="store_true",
+                        help="with --mesh, also shard the dual-vertex pool")
         sp.add_argument("--dtype", default="float32",
                         choices=["float32", "float64"])
         sp.add_argument("--schedule", default="constant",
@@ -316,6 +323,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # Honor JAX_PLATFORMS even when a TPU plugin was registered by a
+    # sitecustomize at interpreter startup (such plugins claim the backend
+    # regardless of the env var; only jax.config.update takes effect, and
+    # it must run before the first backend query).
+    import os
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     return args.fn(args)
 
 

@@ -53,7 +53,12 @@ class SDSolver:
 
     def __init__(self, inst: Instance, config: SDConfig = SDConfig(),
                  espec: Optional[EpigraphSpec] = None,
-                 x0=None, seed: int = 0, n_epi: int = 1):
+                 x0=None, seed: int = 0, n_epi: int = 1,
+                 mesh_devices: int = 0, shard_duals: bool = False):
+        """mesh_devices > 1 builds a 1-D device mesh and shards the
+        scenario stores (and, with shard_duals, the dual-vertex pool)
+        over it; 0/1 runs single-device. Multi-host setups must call
+        jax.distributed.initialize() before constructing the solver."""
         self.inst = inst
         # Valid per-scenario recourse lower bound (the reference takes this
         # as a trusted user constant; an invalid one silently corrupts every
@@ -123,6 +128,19 @@ class SDSolver:
                 f"the feasible set (1-norm distance {moved:.6g})")
         self.state: SDState = init_state(
             inst, self.espec, config, x0, jax.random.PRNGKey(seed))
+        self.scenario_model = inst.scenario_model
+        if mesh_devices and mesh_devices > 1:
+            from sqlp_tpu.parallel.mesh import (make_mesh, replicate,
+                                                shard_state)
+            assert config.max_scenarios % mesh_devices == 0, (
+                "max_scenarios must divide the mesh size")
+            mesh = make_mesh(mesh_devices)
+            self.arrays = replicate(self.arrays, mesh)
+            self.prep_sub = replicate(self.prep_sub, mesh)
+            self.espec = replicate(self.espec, mesh)
+            self.scenario_model = replicate(inst.scenario_model, mesh)
+            self.state = shard_state(self.state, mesh,
+                                     shard_duals=shard_duals)
         self.history: List[Dict] = []
 
     def _unscale(self, stats: Dict) -> Dict:
@@ -138,7 +156,7 @@ class SDSolver:
         """One SD iteration; returns host-side stats dict (objective-unit
         entries unscaled)."""
         self.state, stats = sd_step(
-            self.arrays, self.inst.scenario_model, self.espec,
+            self.arrays, self.scenario_model, self.espec,
             self.prep_sub, self.state, self.config)
         return self._unscale(stats)
 
@@ -161,7 +179,7 @@ class SDSolver:
             # always compile the full-chunk executable; a partial final
             # chunk passes its length dynamically instead of recompiling
             self.state, acc = sd_run(
-                self.arrays, self.inst.scenario_model, self.espec,
+                self.arrays, self.scenario_model, self.espec,
                 self.prep_sub, self.state, self.config, min(chunk, n_iters),
                 jnp.asarray(n, jnp.int32))
             acc = self._unscale({k: np.asarray(v)[:n] for k, v in acc.items()})
@@ -348,7 +366,7 @@ class SDReplications(SDSolver):
         while done < n_iters:
             n = min(chunk, n_iters - done)
             self.state, acc = sd_run_replicated(
-                self.arrays, self.inst.scenario_model, self.espec,
+                self.arrays, self.scenario_model, self.espec,
                 self.prep_sub, self.state, self.config, min(chunk, n_iters),
                 jnp.asarray(n, jnp.int32))
             acc = self._unscale({k: np.asarray(v)[:n] for k, v in acc.items()})
