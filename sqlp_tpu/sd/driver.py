@@ -389,6 +389,14 @@ class SDReplications(SDSolver):
                 callback(done, last)
         return last
 
+    def step(self) -> Dict:
+        """One SD iteration on every replication ([R]-shaped stats)."""
+        from sqlp_tpu.sd.algorithm import sd_run_replicated
+        self.state, acc = sd_run_replicated(
+            self.arrays, self.scenario_model, self.espec,
+            self.prep_sub, self.state, self.config, 1)
+        return self._unscale({k: np.asarray(v)[0] for k, v in acc.items()})
+
     @property
     def states(self) -> List[SDState]:
         """Per-replication SDState views (for compromise_decision)."""
@@ -406,3 +414,14 @@ class SDReplications(SDSolver):
     @property
     def lower_estimates(self) -> np.ndarray:
         return np.asarray(self.state.cand_est) * self.obj_scale
+
+    # singular accessors are ambiguous on a batch — point at the plurals
+    @property
+    def x_incumbent(self) -> np.ndarray:
+        raise AttributeError("SDReplications has R incumbents — use "
+                             ".x_incumbents [R, n1]")
+
+    @property
+    def lower_estimate(self) -> float:
+        raise AttributeError("SDReplications has R estimates — use "
+                             ".lower_estimates [R]")
