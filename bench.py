@@ -1,91 +1,288 @@
-"""Benchmark: scenario-subproblem throughput of the batched PDHG kernel.
+"""Benchmark harness: subproblem throughput + time-to-SD-gap.
 
 Headline metric per BASELINE.md: second-stage recourse LPs solved per
-second per chip. The baseline is the reference's serial
-one-LP-at-a-time external-solver loop (JuMP -> CPLEX/GLPK,
-src/smps/smps_routines.jl:50-62); since Julia isn't in this image the
-baseline is measured as serial HiGHS solves via scipy on this host —
-the same "hand the LP to an exact solver, one scenario at a time"
-architecture the reference uses (readme.md:15-16 flags it as the
+second per chip (batched PDHG kernel, ssn, B=4096, tol 1e-4). The
+baseline is the reference's serial one-LP-at-a-time external-solver loop
+(JuMP -> CPLEX/GLPK, src/smps/smps_routines.jl:50-62); since Julia isn't
+in this image the baseline is measured as serial HiGHS solves via scipy
+on this host — the same "hand the LP to an exact solver, one scenario at
+a time" architecture the reference uses (readme.md:15-16 flags it as the
 bottleneck).
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Second metric (recorded as extra fields on the same JSON line):
+wall-clock for the reference's flagship ssn driver workload — 3000 SD
+iterations, x0=0, adaptive prox schedule with rho0=1e-3
+(/root/reference/test/instance_test/ssn_test.jl:31,45-48) — plus the
+final lb estimate, MC upper bound, and relative gap.
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Resilience: the known-flaky TPU tunnel can either fail fast
+(RuntimeError: Unable to initialize backend 'axon') or hang for minutes
+at backend init. This file is therefore split into an orchestrator (no
+jax import; probes the backend in a throwaway subprocess with a hard
+timeout, retries with backoff, falls back to CPU) and a --child
+measurement process. Every outcome — including total failure — is a
+structured JSON line, never a bare traceback.
+
+Usage:
+  python bench.py                    # probe TPU, fall back to CPU
+  python bench.py --cpu-baseline-only
+  python bench.py --skip-sd-gap      # throughput metric only
 """
 
+from __future__ import annotations
+
+import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
-import numpy as np
+PROBE_TIMEOUT_S = 120          # one backend-init probe (tunnel hangs, not errors)
+PROBE_ATTEMPTS = 3
+PROBE_BACKOFF_S = (20, 60)     # sleep between probe attempts
+CHILD_TIMEOUT_S = 3000         # full measurement run incl. XLA compiles
+CPU_CHILD_TIMEOUT_S = 2700
 
 
-def main():
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+# --------------------------------------------------------------------------
+# orchestrator
+# --------------------------------------------------------------------------
+
+def probe_backend() -> str:
+    """Return 'tpu' if a non-CPU jax backend initializes within the
+    timeout, else 'cpu'. Runs in a subprocess because a wedged tunnel
+    HANGS at init (observed for hours) rather than raising."""
+    code = "import jax; print(jax.devices()[0].platform)"
+    for attempt in range(1, PROBE_ATTEMPTS + 1):
+        t0 = time.time()
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                text=True, timeout=PROBE_TIMEOUT_S)
+        except subprocess.TimeoutExpired:
+            _log(f"probe {attempt}/{PROBE_ATTEMPTS}: backend init hung "
+                 f">{PROBE_TIMEOUT_S}s (tunnel wedged)")
+            out = None
+        if out is not None and out.returncode == 0:
+            plat = out.stdout.strip().splitlines()[-1] if out.stdout else ""
+            _log(f"probe {attempt}: backend '{plat}' up "
+                 f"({time.time() - t0:.1f}s)")
+            if plat and plat != "cpu":
+                return "tpu"
+            return "cpu"
+        if out is not None:
+            tail = (out.stderr or "").strip().splitlines()
+            _log(f"probe {attempt}/{PROBE_ATTEMPTS}: init failed rc="
+                 f"{out.returncode}: {tail[-1] if tail else '?'}")
+        if attempt < PROBE_ATTEMPTS:
+            delay = PROBE_BACKOFF_S[min(attempt - 1, len(PROBE_BACKOFF_S) - 1)]
+            _log(f"retrying in {delay}s")
+            time.sleep(delay)
+    return "cpu"
+
+
+def run_child(platform: str, skip_sd_gap: bool) -> dict | None:
+    """Run the measurement child; return its parsed JSON or None."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--child",
+           "--platform", platform]
+    if skip_sd_gap:
+        cmd.append("--skip-sd-gap")
+    timeout = CHILD_TIMEOUT_S if platform == "tpu" else CPU_CHILD_TIMEOUT_S
+    _log(f"measurement child on {platform} (timeout {timeout}s)")
+    try:
+        out = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=None,
+                             text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        _log(f"child on {platform} exceeded {timeout}s; killed")
+        return None
+    if out.returncode != 0:
+        _log(f"child on {platform} exited rc={out.returncode}")
+        return None
+    for line in reversed((out.stdout or "").strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    _log(f"child on {platform} produced no JSON line")
+    return None
+
+
+def orchestrate(args) -> int:
+    platform = "cpu" if args.cpu_baseline_only else probe_backend()
+    result = run_child(platform, args.skip_sd_gap)
+    if result is None and platform == "tpu":
+        _log("TPU measurement failed; retrying once")
+        result = run_child("tpu", args.skip_sd_gap)
+    if result is None and platform == "tpu":
+        _log("falling back to CPU measurement")
+        platform = "cpu"
+        result = run_child("cpu", args.skip_sd_gap)
+    if result is None:
+        print(json.dumps({
+            "metric": "ssn_subproblems_per_sec_per_chip",
+            "value": 0.0, "unit": "LP solves/s", "vs_baseline": 0.0,
+            "error": "all measurement attempts failed (see stderr log)",
+            "backend": platform,
+        }))
+        return 1
+    print(json.dumps(result))
+    return 0
+
+
+# --------------------------------------------------------------------------
+# measurement child
+# --------------------------------------------------------------------------
+
+def _bench_throughput(inst, config, B: int) -> dict:
+    """Batched-PDHG LP throughput vs serial exact host solves."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    from sqlp_tpu.config import PDHGConfig
-    from sqlp_tpu.models.instance import load_instance
     from sqlp_tpu.models.routines import solve_lp_host
     from sqlp_tpu.models.scenario import sample_deltas
     from sqlp_tpu.ops.pdhg import prepare_lp, solve_batch
     from sqlp_tpu.sd.algorithm import _scenario_rhs
 
-    name = "ssn"  # flagship workload (reference drives 3000 SD iters on it)
-    inst = load_instance(name)
-    B = 4096
     x = jnp.zeros(inst.n1)
-
     key = jax.random.PRNGKey(0)
     deltas = sample_deltas(key, inst.scenario_model, B)
     H = _scenario_rhs(inst.arrays, inst.scenario_model, deltas, x)
-
     prep = prepare_lp(inst.arrays.W, inst.arrays.senses2, inst.arrays.q,
                       inst.arrays.lb2, inst.arrays.ub2)
-    cfg = PDHGConfig(tol=1e-4, max_iters=80_000)
 
-    # warm-up / compile
-    obj, Y, Pi, stats = solve_batch(prep, H, cfg)
+    # warm-up / compile; force with np.asarray (block_until_ready
+    # misreports completion over the tunneled backend)
+    obj, Y, Pi, stats = solve_batch(prep, H, config.pdhg)
     np.asarray(obj)
 
-    t0 = time.time()
-    obj, Y, Pi, stats = solve_batch(prep, H, cfg)
-    obj_h = np.asarray(obj)
-    elapsed = time.time() - t0
-    throughput = B / elapsed
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        obj, Y, Pi, stats = solve_batch(prep, H, config.pdhg)
+        obj_h = np.asarray(obj)
+        best = min(best, time.time() - t0)
+    throughput = B / best
 
     # honesty check: spot-compare against the exact host solver
     Hn = np.asarray(H, np.float64)
+    q64 = np.asarray(inst.arrays.q, np.float64)
+    W64 = np.asarray(inst.arrays.W, np.float64)
+    s2 = np.asarray(inst.arrays.senses2)
+    lb64 = np.asarray(inst.arrays.lb2, np.float64)
+    ub64 = np.asarray(inst.arrays.ub2, np.float64)
     rel_errs = []
-    for b in range(0, B, B // 4):
-        ref, _, _ = solve_lp_host(
-            np.asarray(inst.arrays.q, np.float64),
-            np.asarray(inst.arrays.W, np.float64), Hn[b],
-            np.asarray(inst.arrays.senses2),
-            np.asarray(inst.arrays.lb2, np.float64),
-            np.asarray(inst.arrays.ub2, np.float64))
+    for b in range(0, B, max(B // 4, 1)):
+        ref, _, _ = solve_lp_host(q64, W64, Hn[b], s2, lb64, ub64)
         rel_errs.append(abs(float(obj_h[b]) - ref) / (1.0 + abs(ref)))
     assert max(rel_errs) < 1e-3, f"objective mismatch vs HiGHS: {rel_errs}"
 
-    # baseline: serial exact solves, one scenario at a time (the reference's
-    # architecture), measured on this host
+    # baseline: serial exact solves, one scenario at a time (the
+    # reference's architecture), measured on this host
     n_base = 16
     t0 = time.time()
     for b in range(n_base):
-        solve_lp_host(
-            np.asarray(inst.arrays.q, np.float64),
-            np.asarray(inst.arrays.W, np.float64), Hn[b],
-            np.asarray(inst.arrays.senses2),
-            np.asarray(inst.arrays.lb2, np.float64),
-            np.asarray(inst.arrays.ub2, np.float64))
+        solve_lp_host(q64, W64, Hn[b], s2, lb64, ub64)
     base_throughput = n_base / (time.time() - t0)
 
-    print(json.dumps({
+    return {"throughput": throughput, "baseline": base_throughput,
+            "batch": B, "max_rel_err_vs_highs": max(rel_errs)}
+
+
+def _bench_sd_gap(inst, config, n_iters: int) -> dict:
+    """Reference ssn driver workload: wall-clock to run n_iters SD
+    iterations plus the final lb/ub gap (ssn_test.jl:31,45-48)."""
+    from sqlp_tpu.sd.driver import SDSolver
+
+    # warm-up solver triggers all XLA compiles (persistent compile cache
+    # makes the timed run's compiles ~free); discarded afterwards
+    warm = SDSolver(inst, config, seed=1)
+    warm.run(64)
+    del warm
+
+    solver = SDSolver(inst, config, seed=0)
+    t0 = time.time()
+    solver.run(n_iters)
+    wallclock = time.time() - t0
+    lb = solver.lower_estimate
+    ub, hw, n = solver.evaluate_ci(min_samples=8192, max_samples=8192,
+                                   seed=7)
+    gap = (ub - lb) / max(abs(ub), 1e-9)
+    return {"sd_iters": n_iters, "sd_wallclock_s": round(wallclock, 2),
+            "sd_iters_per_sec": round(n_iters / wallclock, 2),
+            "lb_est": round(lb, 4), "mc_ub": round(ub, 4),
+            "mc_ub_half_width": round(hw, 4), "rel_gap": round(gap, 5)}
+
+
+def child(args) -> int:
+    if args.platform == "cpu":
+        # must run before any backend query: the axon plugin registers via
+        # sitecustomize and ignores the JAX_PLATFORMS env var
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    from sqlp_tpu.utils.jaxsetup import configure_jax
+    configure_jax()
+
+    from sqlp_tpu.config import PDHGConfig, SDConfig
+    from sqlp_tpu.models.instance import load_instance
+
+    name = "ssn"  # flagship workload (reference drives 3000 SD iters on it)
+    on_tpu = args.platform == "tpu"
+    # CPU fallback exists to always produce an artifact; shrink the
+    # workload so it finishes, and label it clearly.
+    B = 4096 if on_tpu else 512
+    sd_iters = 3000 if on_tpu else 200
+
+    config = SDConfig(
+        quad_schedule="adaptive", quad_scalar_init=1e-3,
+        pdhg=PDHGConfig(tol=1e-4, max_iters=80_000))
+    inst = load_instance(name, dtype=config.jdtype)
+
+    thr = _bench_throughput(inst, config, B)
+    out = {
         "metric": f"{name}_subproblems_per_sec_per_chip",
-        "value": round(throughput, 1),
+        "value": round(thr["throughput"], 1),
         "unit": "LP solves/s",
-        "vs_baseline": round(throughput / base_throughput, 2),
-    }))
+        "vs_baseline": round(thr["throughput"] / thr["baseline"], 2),
+        "backend": args.platform,
+        "batch": thr["batch"],
+        "serial_baseline_lp_per_sec": round(thr["baseline"], 2),
+    }
+    if not on_tpu:
+        out["note"] = ("CPU fallback (TPU backend unavailable): reduced "
+                       f"batch B={B}, sd_iters={sd_iters}")
+    if not args.skip_sd_gap:
+        try:
+            out["ssn_time_to_gap"] = _bench_sd_gap(inst, config, sd_iters)
+        except Exception as e:  # keep the headline metric on any SD failure
+            out["ssn_time_to_gap"] = {"error": f"{type(e).__name__}: {e}"}
+    print(json.dumps(out), flush=True)
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--child", action="store_true")
+    p.add_argument("--platform", choices=["tpu", "cpu"], default="tpu")
+    p.add_argument("--cpu-baseline-only", action="store_true",
+                   help="skip the TPU probe entirely; measure on CPU")
+    p.add_argument("--skip-sd-gap", action="store_true",
+                   help="only the LP-throughput metric")
+    args = p.parse_args(argv)
+    if args.child:
+        return child(args)
+    return orchestrate(args)
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
