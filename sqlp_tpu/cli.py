@@ -64,6 +64,13 @@ def cmd_solve(args) -> int:
                                       dtype=config.jdtype)
 
     if args.replications > 1:
+        if args.mesh or args.shard_duals:
+            # SDReplications batches replications on one device program;
+            # silently dropping the requested sharding misleads (ADVICE r1)
+            print("error: --mesh/--shard-duals are not supported with "
+                  "--replications > 1 (replications batch on a single "
+                  "device program); drop one of the flags", file=sys.stderr)
+            return 2
         return _solve_replicated(args, config, inst, espec, x0)
 
     solver = SDSolver(inst, config, espec=espec, x0=x0, seed=args.seed,
@@ -236,7 +243,18 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--mesh", type=int, default=0,
                         help="shard scenario stores over this many devices "
                              "(1-D jax.sharding.Mesh; 0 = single device). "
-                             "Multi-host: initialize jax.distributed first")
+                             "With --coordinator the mesh spans all "
+                             "processes' devices")
+        sp.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                        help="multi-process mode: process 0's coordinator "
+                             "address (jax.distributed.initialize). Launch "
+                             "one identical command per host with matching "
+                             "--num-processes and distinct --process-id")
+        sp.add_argument("--num-processes", type=int, default=1)
+        sp.add_argument("--process-id", type=int, default=0)
+        sp.add_argument("--cpu-devices-per-process", type=int, default=None,
+                        help="testing: force N virtual CPU devices per "
+                             "process and Gloo cross-process collectives")
         sp.add_argument("--shard-duals", action="store_true",
                         help="with --mesh, also shard the dual-vertex pool")
         sp.add_argument("--dtype", default="float32",
@@ -331,6 +349,13 @@ def main(argv=None) -> int:
     if os.environ.get("JAX_PLATFORMS"):
         import jax
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    if getattr(args, "coordinator", None):
+        from sqlp_tpu.parallel.distributed import init_distributed
+        init_distributed(
+            args.coordinator, args.num_processes, args.process_id,
+            cpu_devices_per_process=args.cpu_devices_per_process)
+    from sqlp_tpu.utils.jaxsetup import configure_jax
+    configure_jax()
     return args.fn(args)
 
 

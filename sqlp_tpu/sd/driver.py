@@ -19,17 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# The jitted sd_step is a large graph (~minutes of XLA compile on TPU);
-# cache compilations across processes.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("SQLP_TPU_COMPILE_CACHE",
-                                 os.path.expanduser("~/.cache/sqlp_tpu_xla")))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-# x64 enables the f64 master-QP path inside solve_qp (storm-scale masters
-# are not solvable to per-row feasibility in f32); all other state keeps
-# the configured dtype — literals stay weakly typed under JAX promotion.
-jax.config.update("jax_enable_x64", True)
-
+from sqlp_tpu.utils.jaxsetup import configure_jax
 from sqlp_tpu.config import SDConfig
 from sqlp_tpu.models.instance import Instance, load_instance
 from sqlp_tpu.models.routines import project_first_stage, recourse_lower_bound
@@ -58,7 +48,9 @@ class SDSolver:
         """mesh_devices > 1 builds a 1-D device mesh and shards the
         scenario stores (and, with shard_duals, the dual-vertex pool)
         over it; 0/1 runs single-device. Multi-host setups must call
-        jax.distributed.initialize() before constructing the solver."""
+        jax.distributed.initialize() (sqlp_tpu.parallel.distributed)
+        before constructing the solver."""
+        configure_jax()
         self.inst = inst
         # Valid per-scenario recourse lower bound (the reference takes this
         # as a trusted user constant; an invalid one silently corrupts every
@@ -222,10 +214,43 @@ class SDSolver:
         reference drivers print (sd_single_cut_test.jl:71-77)."""
         return float(self.state.cand_est) * self.obj_scale
 
+    def _recourse_objs(self, H) -> np.ndarray:
+        """Recourse objectives for an RHS panel, certified per element.
+
+        The SD step gates dual-pool admission on ``pdhg_valid``; the MC
+        estimators must apply the same standard (ADVICE r1: silently
+        averaging unconverged elements biases the upper bound that drives
+        the --stop-gap rule). Elements the first-order kernel could not
+        certify to ``valid_tol`` are re-solved exactly on the host — an
+        unbiased repair, unlike excluding them (hard scenarios are not
+        exchangeable with easy ones).
+        """
+        from sqlp_tpu.models.routines import solve_lp_host
+
+        obj, _, _, stats = solve_batch(self.prep_sub, H, self.config.pdhg)
+        vals = np.asarray(obj, np.float64)
+        bad = np.flatnonzero(~np.asarray(stats["pdhg_valid"]))
+        if bad.size:
+            a = self.arrays
+            q = np.asarray(a.q, np.float64)
+            W = np.asarray(a.W, np.float64)
+            s2 = np.asarray(a.senses2)
+            lb = np.asarray(a.lb2, np.float64)
+            ub = np.asarray(a.ub2, np.float64)
+            Hn = np.asarray(H, np.float64)
+            for b in bad:
+                vals[b], _, _ = solve_lp_host(q, W, Hn[b], s2, lb, ub)
+            warnings.warn(
+                f"{bad.size}/{len(vals)} recourse LPs missed "
+                f"valid_tol={self.config.pdhg.valid_tol:g} in the MC "
+                f"evaluator; re-solved exactly on host")
+        return vals
+
     def evaluate(self, x=None, n_samples: int = 10_000, seed: int = 123,
                  batch: int = 4096) -> float:
         """Monte-Carlo upper-bound estimate at x (smps_routines.jl:67-82),
-        batched on device instead of N serial solver round-trips."""
+        batched on device instead of N serial solver round-trips.
+        Uncertified batch elements are re-solved exactly on host."""
         inst = self.inst
         x = jnp.asarray(self.x_incumbent if x is None else x,
                         self.config.jdtype)
@@ -237,8 +262,7 @@ class SDSolver:
             key, k = jax.random.split(key)
             deltas = sample_deltas(k, inst.scenario_model, b)
             H = _scenario_rhs(self.arrays, inst.scenario_model, deltas, x)
-            obj, _, _, stats = solve_batch(self.prep_sub, H, self.config.pdhg)
-            total += float(jnp.sum(obj))
+            total += float(self._recourse_objs(H).sum())
             done += b
         first = float(jnp.dot(self.arrays.c, x))
         return (first + total / n_samples) * self.obj_scale
@@ -249,10 +273,14 @@ class SDSolver:
                     seed: int = 123, batch: int = 4096):
         """Monte-Carlo estimate with a confidence interval.
 
-        Samples in device batches until the CI half-width at ``confidence``
-        drops below ``target_half_width`` (or max_samples). The reference
-        flags exactly this as an open TODO (readme.md:20-21: N "should be
-        calculated to reflect the confidence level").
+        Draws ``min_samples`` first. With ``target_half_width > 0``,
+        keeps sampling in device batches until the CI half-width at
+        ``confidence`` drops below the target or ``max_samples`` is hit —
+        the adaptive-N policy the reference flags as an open TODO
+        (readme.md:20-21: N "should be calculated to reflect the
+        confidence level"). With ``target_half_width == 0`` (default) it
+        stops at ``min_samples``: a fixed-N estimate like :meth:`evaluate`
+        but reporting its sampling error.
 
         Returns (mean, half_width, n_samples).
         """
@@ -262,39 +290,32 @@ class SDSolver:
         x = jnp.asarray(self.x_incumbent if x is None else x,
                         self.config.jdtype)
         # two-sided normal quantile via inverse erf
-        z = math.sqrt(2.0) * float(
-            np.real(_erfinv(confidence)))
+        z = math.sqrt(2.0) * float(np.real(_erfinv(confidence)))
         key = jax.random.PRNGKey(seed)
         n = 0
         mean = 0.0
         m2 = 0.0
         while True:
-            b = min(batch, max_samples - n)
+            stop_at = min_samples if not target_half_width else max_samples
+            b = min(batch, stop_at - n)
             if b <= 0:
                 break
             key, k = jax.random.split(key)
             deltas = sample_deltas(k, inst.scenario_model, b)
-            from sqlp_tpu.sd.algorithm import _scenario_rhs
             H = _scenario_rhs(self.arrays, inst.scenario_model, deltas, x)
-            obj, _, _, _ = solve_batch(self.prep_sub, H, self.config.pdhg)
-            vals = np.asarray(obj, np.float64)
-            for v in (float(vals.mean()),):
-                # batched Welford merge
-                bn = len(vals)
-                bm = v
-                bm2 = float(((vals - bm) ** 2).sum())
-                delta = bm - mean
-                tot = n + bn
-                mean += delta * bn / tot
-                m2 += bm2 + delta * delta * n * bn / tot
-                n = tot
-            if n >= min_samples:
+            vals = self._recourse_objs(H)
+            # Chan et al. parallel-variance merge of the batch's moments
+            bn = len(vals)
+            bm = float(vals.mean())
+            bm2 = float(((vals - bm) ** 2).sum())
+            delta = bm - mean
+            tot = n + bn
+            mean += delta * bn / tot
+            m2 += bm2 + delta * delta * n * bn / tot
+            n = tot
+            if target_half_width and n >= min_samples:
                 hw = z * math.sqrt(m2 / max(n - 1, 1) / n)
-                if target_half_width and hw <= target_half_width:
-                    break
-                if n >= max_samples:
-                    break
-                if not target_half_width:
+                if hw <= target_half_width:
                     break
         hw = z * math.sqrt(m2 / max(n - 1, 1) / n)
         first = float(jnp.dot(self.arrays.c, x))

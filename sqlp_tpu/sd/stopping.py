@@ -5,9 +5,11 @@ src/sd_algorithm/plugin/stopping_rule.jl is 0 bytes and readme.md:18 lists
 "Need to implement stopping criteria" as an open TODO. This module provides
 the standard SD-style rules on top of the per-iteration stats stream:
 
-  * ``LowerBoundStabilization`` — stop when the candidate objective
-    estimate (the lb proxy the drivers print) has moved less than rel_tol
-    over a trailing window;
+  * ``LowerBoundStabilization`` — stop when an objective-estimate series
+    has moved less than rel_tol over a trailing window. The CLI feeds the
+    incumbent estimate (``inc_est``): the candidate series jumps with
+    every new cut while the incumbent's estimate is the stable lower-bound
+    proxy whose stall actually signals convergence;
   * ``GapRule`` — stop when the Monte-Carlo upper-bound estimate and the
     lb estimate agree within a relative gap (requires periodic evaluate()
     calls; the CI half-width from evaluate_ci can be folded in).
@@ -22,17 +24,18 @@ from typing import Deque, Optional
 
 @dataclasses.dataclass
 class LowerBoundStabilization:
-    """Stop when lb_est's relative movement over `window` checks < rel_tol."""
+    """Stop when the fed estimate's relative movement over `window`
+    checks < rel_tol (the CLI feeds ``inc_est``, see module docstring)."""
 
     window: int = 20
     rel_tol: float = 1e-4
     _hist: Deque[float] = dataclasses.field(
         default_factory=lambda: deque(maxlen=64))
 
-    def update(self, lb_est: float) -> bool:
+    def update(self, est: float) -> bool:
         if self._hist.maxlen < self.window:
             self._hist = deque(self._hist, maxlen=self.window)
-        self._hist.append(float(lb_est))
+        self._hist.append(float(est))
         if len(self._hist) < self.window:
             return False
         recent = list(self._hist)[-self.window:]
