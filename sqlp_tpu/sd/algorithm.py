@@ -112,15 +112,32 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
     # ---- 1. sample + append scenarios (add_scenario!, epigraph.jl:81-96)
     new_deltas = sample_deltas(k_sample, model, E * B).reshape(E, B, model.n_rv)
 
-    def append_one(store, weights, n, new):
-        idx = jnp.minimum(n, S - B)
-        store = jax.lax.dynamic_update_slice_in_dim(store, new, idx, 0)
-        weights = jax.lax.dynamic_update_slice_in_dim(
-            weights, jnp.ones((B,), dt), idx, 0)
+    # Pre-saturation: append in stream order (matches the reference, whose
+    # store is unbounded). At capacity: reservoir sampling (Vitter's R) —
+    # scenario t replaces a uniform slot with prob S/t — so the stored
+    # panel stays a uniform i.i.d. subsample of the full stream, which is
+    # what build_sasa_cut's sample-average rationale assumes (ADVICE r1:
+    # overwriting a fixed trailing slot froze the estimator past capacity).
+    res_keys = jax.random.split(jax.random.fold_in(k_sample, 0x5eed), E)
+
+    def append_one(rkey, store, weights, n, total_w, new):
+        for i in range(B):
+            ku, kj = jax.random.split(jax.random.fold_in(rkey, i))
+            t = total_w + (i + 1)                       # stream position
+            j = jax.random.randint(kj, (), 0, S)
+            pre = n + i < S
+            take = jax.random.uniform(ku, dtype=t.dtype) * t < S
+            idx = jnp.where(pre, jnp.minimum(n + i, S - 1), j)
+            write = jnp.logical_or(pre, take)
+            store = store.at[idx].set(
+                jnp.where(write, new[i], store[idx]))
+            weights = weights.at[idx].set(
+                jnp.where(write, jnp.ones((), dt), weights[idx]))
         return store, weights, jnp.minimum(n + B, S)
 
     scen_deltas, scen_weights, n_scen = jax.vmap(append_one)(
-        state.scen_deltas, state.scen_weights, state.n_scen, new_deltas)
+        res_keys, state.scen_deltas, state.scen_weights, state.n_scen,
+        state.total_weight, new_deltas)
     overflow = jnp.sum(jnp.maximum(state.n_scen + B - S, 0)).astype(
         state.scen_dropped.dtype)
     total_weight = state.total_weight + B  # unit weights (algorithm.jl:46)

@@ -63,3 +63,31 @@ def test_scenario_store_saturation_no_cut_decay():
     assert s.lower_estimate > 360.0, s.lower_estimate
     ub = s.evaluate(n_samples=4000)
     assert abs(ub - 381.8533) < 6.0
+
+
+def test_scenario_store_reservoir_refreshes_after_saturation():
+    """Past capacity the store must keep refreshing as a uniform subsample
+    of the stream (reservoir sampling), not freeze its first S-B entries
+    while recycling one trailing slot (ADVICE r1): a frozen panel stops the
+    SASA cut estimator from reflecting post-saturation draws."""
+    require_instance("lands")
+    inst = load_instance("lands", dtype=jnp.float64)
+    cfg = SDConfig(
+        dtype="float64",
+        max_scenarios=8,             # saturates at iteration 8
+        max_dual_vertices=64, max_cuts=16,
+        pdhg=PDHGConfig(tol=1e-8, max_iters=10_000),
+        qp=QPConfig(tol=1e-9, max_iters=4_000),
+    )
+    s = SDSolver(inst, cfg, x0=np.array([3.0, 3.0, 3.0, 3.0]), seed=11)
+    s.run(12)
+    snap1 = np.asarray(s.state.scen_deltas).copy()
+    assert int(s.state.n_scen[0]) == 8
+    s.run(60)
+    snap2 = np.asarray(s.state.scen_deltas)
+    assert int(s.state.n_scen[0]) == 8
+    # expected replacements over iters 13..72: sum_{t} 8/t ~ 14; a frozen
+    # panel (old behavior: only the trailing slot recycles) keeps slots
+    # 0..6 bitwise identical. lands' rv takes 3 distinct values, so some
+    # non-trailing slot differing proves head slots were replaced.
+    assert not np.array_equal(snap1[0, :7], snap2[0, :7])
