@@ -78,11 +78,28 @@ def state_shardings(mesh: Mesh, axis_name: str = SCENARIO_AXIS,
     return {k: NamedSharding(mesh, v) for k, v in specs.items()}
 
 
+def _put(a, sharding):
+    """Place host data with a sharding that may span processes.
+
+    ``jax.device_put`` only targets addressable devices; when the mesh
+    spans multiple processes (multi-host), each process must contribute
+    its local shards of the global array instead — every process holds the
+    same host value (instance data / the seed-deterministic initial
+    state), so slicing it by the global index is exactly SPMD placement.
+    """
+    if jax.process_count() > 1:
+        import numpy as _np
+        h = _np.asarray(a)
+        return jax.make_array_from_callback(h.shape, sharding,
+                                            lambda idx: h[idx])
+    return jax.device_put(a, sharding)
+
+
 def shard_state(state, mesh: Mesh, axis_name: str = SCENARIO_AXIS,
                 shard_duals: bool = False):
     """Place an SDState's arrays according to the sharding plan."""
     sh = state_shardings(mesh, axis_name, shard_duals=shard_duals)
-    kw = {f.name: jax.device_put(getattr(state, f.name), sh[f.name])
+    kw = {f.name: _put(getattr(state, f.name), sh[f.name])
           for f in dataclasses.fields(state)}
     return dataclasses.replace(state, **kw)
 
@@ -90,4 +107,4 @@ def shard_state(state, mesh: Mesh, axis_name: str = SCENARIO_AXIS,
 def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree over the mesh (instance arrays, prep, etc.)."""
     sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), tree)
+    return jax.tree_util.tree_map(lambda a: _put(a, sharding), tree)
