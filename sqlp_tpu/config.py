@@ -144,6 +144,14 @@ class SDConfig:
     # --- incumbent cut refresh (sd_iteration! kwarg, algorithm.jl:40) ---
     update_incumbent_cut: bool = True
 
+    # --- dual-vertex crossover (ops/crossover.py) ---
+    # Round PDHG's epsilon-optimal (interior-ish) duals to basic dual
+    # vertices before pool admission, recovering the cut sharpness of the
+    # reference's exact simplex duals (smps_routines.jl:58-61). A rounded
+    # dual is only accepted when it stays dual-feasible and does not lose
+    # dual objective, so cuts can only tighten.
+    dual_crossover: bool = True
+
     # --- numerics ---
     dtype: str = "float32"
     # Solve with objective coefficients normalized to O(1) (c, q divided by
@@ -167,3 +175,33 @@ class SDConfig:
 
     def replace(self, **kw) -> "SDConfig":
         return dataclasses.replace(self, **kw)
+
+
+def _pow2ceil(v: int) -> int:
+    return 1 << max(0, int(v) - 1).bit_length()
+
+
+def autoscale_capacities(config: SDConfig, n_iters: int, n_epi: int = 1,
+                         mesh_devices: int = 0) -> SDConfig:
+    """Shrink pool capacities to what ``n_iters`` iterations can fill.
+
+    The defaults (S=4096, D=2048) are flagship-sized; on small instances
+    or short runs they dominate the per-iteration floor — the argmax
+    scores a [D, S] panel and the dual-dedup compares against all D slots
+    every step regardless of how many are live. A run of n_iters B-batch
+    iterations stores at most n_iters*B scenarios per epigraph and pushes
+    at most 2*E*B duals per iteration, so capacities beyond the next
+    power of two above those counts are pure padding. Capacities only
+    ever shrink (a user-set smaller value wins), trajectories are
+    unchanged (pre-saturation behavior does not depend on capacity), and
+    the scenario capacity stays divisible by the mesh.
+    """
+    need_s = max(64, _pow2ceil(n_iters * config.scenarios_per_iter))
+    if mesh_devices and mesh_devices > 1:
+        need_s = max(need_s, _pow2ceil(mesh_devices))
+        need_s += (-need_s) % mesh_devices
+    need_d = max(64, _pow2ceil(2 * n_iters * config.scenarios_per_iter
+                               * max(n_epi, 1)))
+    return config.replace(
+        max_scenarios=min(config.max_scenarios, need_s),
+        max_dual_vertices=min(config.max_dual_vertices, need_d))

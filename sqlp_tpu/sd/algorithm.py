@@ -32,7 +32,7 @@ from sqlp_tpu.models.scenario import (ScenarioModel, effective_rhs_deltas,
                                       sample_deltas)
 from sqlp_tpu.ops.pdhg import PreparedLP, solve_batch
 from sqlp_tpu.ops.prox_qp import solve_qp
-from sqlp_tpu.sd.cuts import build_sasa_cut, evaluate_multi_epigraph
+from sqlp_tpu.sd.cuts import Cut, build_sasa_cut, evaluate_multi_epigraph
 from sqlp_tpu.sd.dual_pool import push_duals
 from sqlp_tpu.sd.master import assemble_master, cut_dual_slice
 from sqlp_tpu.sd.state import EpigraphSpec, SDState
@@ -154,8 +154,22 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
         prep_sub, H, config.pdhg,
         Y0=state.sub_warm_Y, L0=state.sub_warm_L)
 
+    if config.dual_crossover:
+        # round interior-ish first-order duals to basic vertices (cut
+        # sharpness parity with the reference's simplex duals); rejected
+        # elements keep their PDHG dual
+        from sqlp_tpu.ops.crossover import sharpen_duals
+        Pi_sharp, xover = sharpen_duals(
+            arrays.W, arrays.q, arrays.senses2, arrays.lb2, arrays.ub2,
+            H, sub_Y, Pi)
+        sub_stats = dict(sub_stats, crossover_accepted=jnp.sum(xover))
+    else:
+        Pi_sharp = Pi
+        sub_stats = dict(sub_stats,
+                         crossover_accepted=jnp.zeros((), jnp.int32))
+
     duals, duals_rounded, n_duals, duals_dropped, duals_score = push_duals(
-        state.duals, state.duals_rounded, state.n_duals, Pi,
+        state.duals, state.duals_rounded, state.n_duals, Pi_sharp,
         state.duals_dropped, config.dual_sig_bits,
         valid=sub_stats["pdhg_valid"], score=state.duals_score)
 
@@ -191,8 +205,18 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
                 with_counts=True)
         )(scen_deltas, scen_weights, total_weight)
 
-    cand_cut, cand_counts = build_at(state.x_candidate)
-    argmax_counts = jnp.sum(cand_counts, axis=0)            # [D]
+    if config.update_incumbent_cut:
+        # one fused argmax pass over both evaluation points: the candidate
+        # and incumbent builds share the [D,R]x[R,S] score matmul shape, so
+        # batching them roughly halves the per-iteration cut-build cost
+        # (the argmax is the fixed-cost floor on small instances)
+        cuts2, counts2 = jax.vmap(build_at)(
+            jnp.stack([state.x_candidate, state.x_incumbent]))
+        cand_cut = Cut(cuts2.alpha[0], cuts2.beta[0])
+        argmax_counts = jnp.sum(counts2, axis=(0, 1))       # [D]
+    else:
+        cand_cut, cand_counts = build_at(state.x_candidate)
+        argmax_counts = jnp.sum(cand_counts, axis=0)        # [D]
 
     # insert: first dead slot, else evict the smallest-|dual| live cut
     slot_score = jnp.where(cut_live, jnp.abs(state.cut_dual), -jnp.inf)
@@ -206,10 +230,8 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
 
     # ---- 6. refresh incumbent cut (epigraph.jl:83; algorithm.jl:82-84)
     if config.update_incumbent_cut:
-        inc_cut, inc_counts = build_at(state.x_incumbent)
-        inc_alpha, inc_beta = inc_cut.alpha, inc_cut.beta
+        inc_alpha, inc_beta = cuts2.alpha[1], cuts2.beta[1]
         inc_valid = jnp.ones((E,), bool)
-        argmax_counts = argmax_counts + jnp.sum(inc_counts, axis=0)
     else:
         inc_alpha, inc_beta = state.inc_alpha, state.inc_beta
         inc_valid = state.inc_valid
