@@ -313,3 +313,66 @@ def evaluate_host(sp1: StageLP, sp2: StageLP, sto: StoData, x: np.ndarray,
         obj, _, _ = solve_problem(sp2, x, scenario)
         s2_cost += obj / n_samples
     return s1_cost + s2_cost
+
+
+def oracle_solve_batch(prep, H, config=None, Y0=None, L0=None):
+    """Drop-in exact replacement for ``ops.pdhg.solve_batch``.
+
+    Solves every RHS panel row with the host HiGHS solver through
+    ``jax.pure_callback`` — the moral equivalent of the reference's
+    JuMP -> CPLEX round-trip (smps_routines.jl:50-62), usable inside the
+    jitted SD step by monkeypatching ``sqlp_tpu.sd.algorithm.solve_batch``.
+    Exists for parity testing: a B=1 trajectory driven by exact simplex
+    duals isolates the SD semantics from first-order solver tolerance
+    (VERDICT r1 item 7). Slow by construction; never use in production.
+
+    The original-problem data is reconstructed from the PreparedLP scaling
+    (K = diag(row_scale) (flip * W) diag(col_scale), q/lb/ub col-scaled).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sqlp_tpu.models.stage import SENSE_E, SENSE_G, SENSE_L
+
+    B, m = H.shape
+    n = prep.n
+    dt = prep.K.dtype
+
+    def host(Hn, K, qs, lbs, ubs, is_eq, flip, rs, cs):
+        # unscale back to the original stage LP (prep leaves arrive as
+        # concrete values at callback time, never at trace time)
+        Hn = np.asarray(Hn, np.float64)
+        W = (np.asarray(K, np.float64) / np.asarray(rs)[:, None]
+             / np.asarray(cs)[None, :] * np.asarray(flip)[:, None])
+        q = np.asarray(qs, np.float64) / np.asarray(cs)
+        lb = np.asarray(lbs, np.float64) * np.asarray(cs)
+        ub = np.asarray(ubs, np.float64) * np.asarray(cs)
+        senses = np.where(np.asarray(is_eq), SENSE_E,
+                          np.where(np.asarray(flip) < 0, SENSE_L, SENSE_G))
+        objs = np.zeros(B, np.float64)
+        Y = np.zeros((B, n), np.float64)
+        Pi = np.zeros((B, m), np.float64)
+        for b in range(B):
+            objs[b], Y[b], Pi[b] = solve_lp_host(q, W, Hn[b], senses, lb, ub)
+        return (objs.astype(dt), Y.astype(dt), Pi.astype(dt))
+
+    out_shapes = (jax.ShapeDtypeStruct((B,), dt),
+                  jax.ShapeDtypeStruct((B, n), dt),
+                  jax.ShapeDtypeStruct((B, m), dt))
+    obj, Y, Pi = jax.pure_callback(
+        host, out_shapes, H, prep.K, prep.q, prep.lb, prep.ub,
+        prep.is_eq, prep.flip, prep.row_scale, prep.col_scale)
+
+    zero_i = jnp.zeros((), jnp.int32)
+    stats = {
+        "pdhg_rounds": zero_i,
+        "pdhg_phase_rounds": jnp.zeros((1,), jnp.int32),
+        "pdhg_iters": zero_i,
+        "pdhg_err_max": jnp.zeros((), dt),
+        "pdhg_converged": jnp.asarray(True),
+        "pdhg_omega": jnp.ones((), dt),
+        "pdhg_done": jnp.ones((B,), bool),
+        "pdhg_valid": jnp.ones((B,), bool),
+        "pdhg_err": jnp.zeros((B,), dt),
+    }
+    return obj, Y, Pi, stats
