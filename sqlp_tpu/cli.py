@@ -44,9 +44,15 @@ def cmd_solve(args) -> int:
     from sqlp_tpu.utils.profiling import trace
 
     config = _build_config(args)
+    if not args.no_auto_capacity:
+        from sqlp_tpu.config import autoscale_capacities
+        config = autoscale_capacities(config, args.iters,
+                                      n_epi=args.epigraphs,
+                                      mesh_devices=args.mesh)
     inst = load_instance(args.instance, dtype=config.jdtype)
     print(f"{inst.name}: n1={inst.n1} m1={inst.m1} n2={inst.n2} "
-          f"m2={inst.m2} R={inst.n_rv}", file=sys.stderr)
+          f"m2={inst.m2} R={inst.n_rv} S={config.max_scenarios} "
+          f"D={config.max_dual_vertices}", file=sys.stderr)
 
     if args.x0 == "crash":
         x0, ef_obj, ef_stats = crash_x0(inst, n_scenarios=args.crash_scenarios,
@@ -318,6 +324,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="stop when the incumbent estimate moved less than "
                          "--stop-stall-tol over this many log checks")
     ps.add_argument("--stop-stall-tol", type=float, default=1e-4)
+    ps.add_argument("--no-auto-capacity", action="store_true",
+                    help="keep --max-scenarios/--max-duals exactly as "
+                         "given instead of shrinking them to what --iters "
+                         "iterations can fill (autoscaling never changes "
+                         "the trajectory, only removes padding work)")
     common(ps)
     ps.set_defaults(fn=cmd_solve)
 
