@@ -108,3 +108,19 @@ def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree over the mesh (instance arrays, prep, etc.)."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda a: _put(a, sharding), tree)
+
+
+def place_batch(a, mesh: Mesh, axis_name: str = SCENARIO_AXIS):
+    """Shard a host [B, ...] panel along its batch axis over the mesh
+    (Monte-Carlo evaluation panels, large subproblem batches). B must be
+    divisible by the mesh size; multi-process safe."""
+    spec = P(axis_name, *([None] * (np.ndim(a) - 1)))
+    return _put(a, NamedSharding(mesh, spec))
+
+
+def to_host(a) -> np.ndarray:
+    """Fetch a (possibly cross-process sharded) array to every host."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+    return np.asarray(a)

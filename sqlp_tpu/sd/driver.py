@@ -103,6 +103,10 @@ class SDSolver:
                 # an unscaled prune threshold would prune every cut
                 cut_remove_tolerance=config.cut_remove_tolerance / s)
         self.arrays = arrays
+        # pre-replication copies: evaluation panels are built eagerly on
+        # the host and must not mix process-local arrays with globally
+        # committed ones (multi-process meshes reject mixed-device ops)
+        self.arrays_local = arrays
         self.config = config
 
         self.prep_sub = prepare_lp(
@@ -121,12 +125,14 @@ class SDSolver:
         self.state: SDState = init_state(
             inst, self.espec, config, x0, jax.random.PRNGKey(seed))
         self.scenario_model = inst.scenario_model
+        self.mesh = None
         if mesh_devices and mesh_devices > 1:
             from sqlp_tpu.parallel.mesh import (make_mesh, replicate,
                                                 shard_state)
             assert config.max_scenarios % mesh_devices == 0, (
                 "max_scenarios must divide the mesh size")
             mesh = make_mesh(mesh_devices)
+            self.mesh = mesh
             self.arrays = replicate(self.arrays, mesh)
             self.prep_sub = replicate(self.prep_sub, mesh)
             self.espec = replicate(self.espec, mesh)
@@ -227,17 +233,37 @@ class SDSolver:
         """
         from sqlp_tpu.models.routines import solve_lp_host
 
-        obj, _, _, stats = solve_batch(self.prep_sub, H, self.config.pdhg)
-        vals = np.asarray(obj, np.float64)
-        bad = np.flatnonzero(~np.asarray(stats["pdhg_valid"]))
+        B = H.shape[0]
+        if self.mesh is not None:
+            # shard the panel over the mesh batch axis (SURVEY §5.7: MC
+            # evaluation is one of the two sharded parallel axes); pad to
+            # the mesh size with copies of row 0, discarded after
+            from sqlp_tpu.parallel.mesh import place_batch, to_host
+            pad = (-B) % self.mesh.devices.size
+            Hn_host = np.asarray(H, np.float64)
+            if pad:
+                H = jnp.concatenate(
+                    [H, jnp.broadcast_to(H[:1], (pad,) + H.shape[1:])])
+            H = place_batch(np.asarray(H), self.mesh)
+            obj, _, _, stats = solve_batch(self.prep_sub, H,
+                                           self.config.pdhg)
+            vals = to_host(obj).astype(np.float64)[:B]
+            valid = to_host(stats["pdhg_valid"])[:B]
+        else:
+            Hn_host = None
+            obj, _, _, stats = solve_batch(self.prep_sub, H,
+                                           self.config.pdhg)
+            vals = np.asarray(obj, np.float64)
+            valid = np.asarray(stats["pdhg_valid"])
+        bad = np.flatnonzero(~valid)
         if bad.size:
-            a = self.arrays
+            a = self.arrays_local
             q = np.asarray(a.q, np.float64)
             W = np.asarray(a.W, np.float64)
             s2 = np.asarray(a.senses2)
             lb = np.asarray(a.lb2, np.float64)
             ub = np.asarray(a.ub2, np.float64)
-            Hn = np.asarray(H, np.float64)
+            Hn = Hn_host if Hn_host is not None else np.asarray(H, np.float64)
             for b in bad:
                 vals[b], _, _ = solve_lp_host(q, W, Hn[b], s2, lb, ub)
             warnings.warn(
@@ -261,10 +287,11 @@ class SDSolver:
             b = min(batch, n_samples - done)
             key, k = jax.random.split(key)
             deltas = sample_deltas(k, inst.scenario_model, b)
-            H = _scenario_rhs(self.arrays, inst.scenario_model, deltas, x)
+            H = _scenario_rhs(self.arrays_local, inst.scenario_model,
+                              deltas, x)
             total += float(self._recourse_objs(H).sum())
             done += b
-        first = float(jnp.dot(self.arrays.c, x))
+        first = float(jnp.dot(self.arrays_local.c, x))
         return (first + total / n_samples) * self.obj_scale
 
     def evaluate_ci(self, x=None, confidence: float = 0.95,
@@ -302,7 +329,8 @@ class SDSolver:
                 break
             key, k = jax.random.split(key)
             deltas = sample_deltas(k, inst.scenario_model, b)
-            H = _scenario_rhs(self.arrays, inst.scenario_model, deltas, x)
+            H = _scenario_rhs(self.arrays_local, inst.scenario_model,
+                              deltas, x)
             vals = self._recourse_objs(H)
             # Chan et al. parallel-variance merge of the batch's moments
             bn = len(vals)
@@ -318,7 +346,7 @@ class SDSolver:
                 if hw <= target_half_width:
                     break
         hw = z * math.sqrt(m2 / max(n - 1, 1) / n)
-        first = float(jnp.dot(self.arrays.c, x))
+        first = float(jnp.dot(self.arrays_local.c, x))
         s_ = self.obj_scale
         return (first + mean) * s_, hw * s_, n
 

@@ -40,7 +40,10 @@ def run_trajectory(n_iters: int = 20):
                       mesh_devices=8, shard_duals=True)
     solver.run(n_iters, log_every=1)
     cand = np.asarray([h["cand_est"] for h in solver.history])
-    return cand, solver.x_incumbent
+    # MC evaluation shards its panel over the same (possibly cross-
+    # process) mesh — exercises place_batch/to_host end to end
+    ub = solver.evaluate(n_samples=1024, batch=512, seed=77)
+    return cand, solver.x_incumbent, ub
 
 
 def main() -> None:
@@ -60,10 +63,11 @@ def main() -> None:
 
     import numpy as np
 
-    cand, x_inc = run_trajectory()
+    cand, x_inc, ub = run_trajectory()
     if pid == 0:
-        np.savez(out_path, cand_est=cand, x_incumbent=x_inc)
-    print(f"[worker {pid}] done, cand_est[-1]={cand[-1]:.6f}", flush=True)
+        np.savez(out_path, cand_est=cand, x_incumbent=x_inc, mc_ub=ub)
+    print(f"[worker {pid}] done, cand_est[-1]={cand[-1]:.6f} "
+          f"mc_ub={ub:.6f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -57,8 +57,9 @@ def test_two_process_mesh_matches_single_process(tmp_path):
     # identical workload on one process, 8 virtual devices (conftest)
     from _distributed_worker import run_trajectory
 
-    cand, x_inc = run_trajectory()
+    cand, x_inc, ub = run_trajectory()
 
     np.testing.assert_allclose(dist["cand_est"], cand, rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(dist["x_incumbent"], x_inc,
                                rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(dist["mc_ub"], ub, rtol=1e-9, atol=1e-9)
