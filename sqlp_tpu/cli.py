@@ -124,11 +124,17 @@ def cmd_solve(args) -> int:
                       f"duals={rec.get('n_duals')} "
                       f"cuts={rec.get('n_cuts_live')}", file=sys.stderr)
             if args.eval_every and done % args.eval_every == 0:
-                ub = solver.evaluate(n_samples=args.eval_samples,
-                                     seed=args.seed + it)
-                logger.log({"it": it, "mc_upper_bound": ub})
-                print(f"iter {it}: mc_ub={ub:.4f}", file=sys.stderr)
-                if gap_rule and gap_rule.check(solver.lower_estimate, ub):
+                # CI-aware bound: the stop-gap test inflates ub by its
+                # sampling half-width, so a lucky draw cannot stop SD early
+                ub, ub_hw, _ = solver.evaluate_ci(
+                    min_samples=args.eval_samples,
+                    max_samples=args.eval_samples, seed=args.seed + it)
+                logger.log({"it": it, "mc_upper_bound": ub,
+                            "mc_half_width": ub_hw})
+                print(f"iter {it}: mc_ub={ub:.4f} (+-{ub_hw:.4f})",
+                      file=sys.stderr)
+                if gap_rule and gap_rule.check(solver.lower_estimate, ub,
+                                               ub_half_width=ub_hw):
                     stopped = f"gap <= {args.stop_gap:g} at iter {it}"
             if stab and stab.update(float(last["inc_est"])):
                 stopped = stopped or \

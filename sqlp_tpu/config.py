@@ -192,9 +192,12 @@ def autoscale_capacities(config: SDConfig, n_iters: int, n_epi: int = 1,
     iterations stores at most n_iters*B scenarios per epigraph and pushes
     at most 2*E*B duals per iteration, so capacities beyond the next
     power of two above those counts are pure padding. Capacities only
-    ever shrink (a user-set smaller value wins), trajectories are
-    unchanged (pre-saturation behavior does not depend on capacity), and
-    the scenario capacity stays divisible by the mesh.
+    ever shrink (a user-set smaller value wins); pre-saturation
+    trajectories are semantically unchanged (capacity only pads dead
+    slots), identical up to floating-point reduction order — padding
+    changes matmul tiling (measured on lands/256 iters: lb 376.03 vs
+    376.00, 15.7 -> 37.5 it/s on CPU). The scenario capacity stays
+    divisible by the mesh.
     """
     need_s = max(64, _pow2ceil(n_iters * config.scenarios_per_iter))
     if mesh_devices and mesh_devices > 1:

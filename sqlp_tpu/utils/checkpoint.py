@@ -23,9 +23,16 @@ _META_PREFIX = "__meta_"
 
 
 def save_state(path: str, state: SDState, **meta) -> None:
-    """Write the state pytree (and optional scalar metadata) to .npz."""
+    """Write the state pytree (and optional scalar metadata) to .npz.
+
+    Works on sharded states, including cross-process meshes: every field
+    is gathered to the host first, so each process writes the full global
+    state (call from process 0 only, or give each process its own path).
+    """
+    from sqlp_tpu.parallel.mesh import to_host
+
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    payload = {f.name: np.asarray(getattr(state, f.name))
+    payload = {f.name: to_host(getattr(state, f.name))
                for f in dataclasses.fields(state)}
     for k, v in meta.items():
         payload[_META_PREFIX + k] = np.asarray(v)
