@@ -12,7 +12,6 @@ as a static argument.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax.numpy as jnp
 
@@ -164,10 +163,6 @@ class SDConfig:
     # --- nested kernel configs ---
     pdhg: PDHGConfig = dataclasses.field(default_factory=PDHGConfig)
     qp: QPConfig = dataclasses.field(default_factory=QPConfig)
-
-    # --- distribution ---
-    # Name of the mesh axis scenario batches/stores are sharded over, or None.
-    scenario_axis: Optional[str] = "scenarios"
 
     @property
     def jdtype(self):
