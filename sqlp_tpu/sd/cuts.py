@@ -97,26 +97,31 @@ def build_sasa_cut(arrays: InstanceArrays, model: ScenarioModel,
     eff = effective_rhs_deltas(model, scen_deltas, x)       # [S, R]
     base = arrays.r - _dot(arrays.T, x)                     # [m2]
     _, best = argmax_duals(duals, n_duals, base, model.rv_row, eff)
-    Pi = duals[best]                                        # [S, m2]
 
     wsum = jnp.sum(scen_weights)
     p = scen_weights / jnp.maximum(wsum, 1e-30)             # [S]
 
+    # Never materialize Pi = duals[best] ([S, m2], the dominant HBM
+    # traffic of the cut build): every per-scenario term either collapses
+    # onto the argmax win-mass per vertex (counts[d] = sum of p_s over
+    # scenarios won by vertex d — then sum_s p_s pi_s = counts @ duals) or
+    # only touches the R random rows ([S, R] gather, R << m2).
+    counts = jnp.zeros((duals.shape[0],), p.dtype).at[best].add(p)  # [D]
+    pi_at_rows = duals[:, model.rv_row][best]               # [S, R]
+
     # alpha: pi @ r plus RHS-delta corrections at the random rows.
     rhs_delta = jnp.where(model.rv_is_rhs[None, :], scen_deltas, 0.0)  # [S, R]
-    pi_at_rows = Pi[:, model.rv_row]                        # [S, R]
-    alpha = jnp.sum(p * (_dot(Pi, arrays.r)
-                         + jnp.sum(rhs_delta * pi_at_rows, axis=1)))
+    alpha = (_dot(counts, _dot(duals, arrays.r))
+             + jnp.sum(p * jnp.sum(rhs_delta * pi_at_rows, axis=1)))
 
     # beta: -T' (sum_s p_s pi_s) plus transfer-delta corrections.
-    pi_bar = _dot(p, Pi)                                    # [m2]
+    pi_bar = _dot(counts, duals)                            # [m2]
     beta = -_dot(arrays.T.T, pi_bar)                        # [n1]
     tr_contrib = jnp.where(model.rv_is_rhs[None, :], 0.0,
                            p[:, None] * scen_deltas * pi_at_rows)  # [S, R]
     beta = beta.at[model.rv_col].add(-jnp.sum(tr_contrib, axis=0))
     cut = Cut(alpha=alpha, beta=beta)
     if with_counts:
-        counts = jnp.zeros((duals.shape[0],), p.dtype).at[best].add(p)
         return cut, counts
     return cut
 
