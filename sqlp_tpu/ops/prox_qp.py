@@ -160,8 +160,8 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
     uc = jnp.where(jnp.isfinite(u_s), u_s, 1e30)
 
     # warm starts arrive in original units
-    z = jnp.zeros((nz,), dtype) if z0 is None else z0 / dc
-    mu = jnp.zeros((mA,), dtype) if mu0 is None else cost_s * mu0 / dr
+    z_w = jnp.zeros((nz,), dtype) if z0 is None else z0 / dc
+    mu_w = jnp.zeros((mA,), dtype) if mu0 is None else cost_s * mu0 / dr
 
     n_rounds = max(1, config.max_iters // config.check_every)
 
@@ -304,20 +304,45 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
                 stalled, z_best, mu_best, restarts)
 
     rho0 = jnp.asarray(config.rho, dtype)
-    zeta = jnp.clip(_dot(As, z), lc, uc)
-    init = (z, zeta, mu, jnp.zeros((), jnp.int32),
-            jnp.asarray(jnp.inf, dtype), rho0,
-            jnp.asarray(jnp.inf, dtype), jnp.zeros((), jnp.int32),
-            jnp.asarray(jnp.inf, dtype), jnp.asarray(False),
-            z, mu, jnp.zeros((), jnp.int32))
-    (z_last, zeta, mu_last, rounds, err_last, rho_s, err_best, _, _, _,
-     z_best, mu_best, _) = jax.lax.while_loop(cond, round_step, init)
-    # Return the best check-point iterate, not the last one (they differ
-    # when the loop stops on stall or budget mid-oscillation).
-    use_best = err_best < err_last
-    z = jnp.where(use_best, z_best, z_last)
-    mu = jnp.where(use_best, mu_best, mu_last)
-    err = jnp.minimum(err_best, err_last)
+
+    def _run(z_init, mu_init):
+        """Full ADMM loop from one starting point; returns the best
+        check-point iterate (not the last one — they differ when the loop
+        stops on stall or budget mid-oscillation)."""
+        zeta0 = jnp.clip(_dot(As, z_init), lc, uc)
+        init = (z_init, zeta0, mu_init, jnp.zeros((), jnp.int32),
+                jnp.asarray(jnp.inf, dtype), rho0,
+                jnp.asarray(jnp.inf, dtype), jnp.zeros((), jnp.int32),
+                jnp.asarray(jnp.inf, dtype), jnp.asarray(False),
+                z_init, mu_init, jnp.zeros((), jnp.int32))
+        (z_last, _, mu_last, rounds, err_last, _, err_best, _, _, _,
+         z_best, mu_best, _) = jax.lax.while_loop(cond, round_step, init)
+        use_best = err_best < err_last
+        zr = jnp.where(use_best, z_best, z_last)
+        mur = jnp.where(use_best, mu_best, mu_last)
+        return zr, mur, jnp.minimum(err_best, err_last), rounds
+
+    z, mu, err, rounds = _run(z_w, mu_w)
+    if z0 is not None or mu0 is not None:
+        # A STALE warm start can trap ADMM for the whole budget: after the
+        # cut pool changes (insert/evict + incumbent-cut refresh) the
+        # previous master's (z, mu) pins the iterate in a basin where the
+        # rho-adaptation deadband never rebalances, and the solve exits at
+        # err ~1e-2 — a first-stage violation of whole units that, once
+        # accepted as incumbent, makes the MC evaluator's recourse LPs
+        # infeasible (observed on lands, seed 5, iteration 85: cold start
+        # converges to 3e-16, the warm start stalls at 1.7e-2 for 4000
+        # iterations). When a warm-started solve misses tolerance, re-run
+        # cold and keep the better iterate; warm starts stay the fast path.
+        def _retry(_):
+            zc, muc, errc, rc = _run(jnp.zeros((nz,), dtype),
+                                     jnp.zeros((mA,), dtype))
+            better = errc < err
+            return (jnp.where(better, zc, z), jnp.where(better, muc, mu),
+                    jnp.minimum(errc, err), rounds + rc)
+
+        z, mu, err, rounds = jax.lax.cond(
+            err <= eff_tol, lambda _: (z, mu, err, rounds), _retry, None)
 
     # ---- OSQP-style polish: the ADMM termination test is relative to the
     # largest row scale, so on mixed-scale masters (storm: cut rows ~1e7,

@@ -251,6 +251,23 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
     last_inc_est = last_inc_eval + f_inc
     req = config.incumbent_q * (last_cand_est - last_inc_est)
     is_improved = cand_est < inc_est + req
+    # Defense in depth: never promote a first-stage-INFEASIBLE candidate to
+    # incumbent. The candidate is repaired to row feasibility after every
+    # master solve (below), but a master that exits far from optimality can
+    # in principle leave residual violation; an infeasible incumbent has a
+    # spuriously low model value (it sits outside the cut-supported region),
+    # wins the improvement test, and then sticks forever while the MC
+    # evaluator's recourse LPs at it come back infeasible. The reference
+    # crashes outright on a failed master (algorithm.jl:104-110); we keep
+    # the previous incumbent and let SD continue from the repaired point.
+    Ax_c = jnp.matmul(arrays.A1, state.x_candidate, precision=_PREC)
+    res_c = Ax_c - arrays.b1
+    viol_c = jnp.where(
+        arrays.senses1 == 1, jnp.maximum(-res_c, 0.0),
+        jnp.where(arrays.senses1 == -1, jnp.maximum(res_c, 0.0),
+                  jnp.abs(res_c)))
+    cand_feasible = jnp.all(viol_c <= 1e-4 * (1.0 + jnp.abs(arrays.b1)))
+    is_improved = jnp.logical_and(is_improved, cand_feasible)
 
     state_now = _dc.replace(state_now, is_improved=is_improved,
                             cand_est=cand_est, inc_est=inc_est,
@@ -281,17 +298,39 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
     x_candidate = jnp.clip(z[:n1], arrays.lb1, arrays.ub1)
     rownorm2 = jnp.maximum(jnp.sum(arrays.A1 * arrays.A1, axis=1), 1e-30)
 
-    def _repair_sweep(_, x):
-        Ax = jnp.matmul(arrays.A1, x, precision=_PREC)
-        resid = Ax - arrays.b1
-        viol = jnp.where(
+    def _row_viol(x):
+        resid = jnp.matmul(arrays.A1, x, precision=_PREC) - arrays.b1
+        return jnp.where(
             arrays.senses1 == 1, jnp.minimum(resid, 0.0),        # '>='
             jnp.where(arrays.senses1 == -1,
                       jnp.maximum(resid, 0.0), resid))           # '<=' / '=='
-        x = x - jnp.matmul(arrays.A1.T, viol / rownorm2, precision=_PREC)
+
+    def _repair_sweep(_, x):
+        x = x - jnp.matmul(arrays.A1.T, _row_viol(x) / rownorm2,
+                           precision=_PREC)
         return jnp.clip(x, arrays.lb1, arrays.ub1)
 
     x_candidate = jax.lax.fori_loop(0, 4, _repair_sweep, x_candidate)
+
+    # Failure regime only: a master that exits far from optimality can
+    # leave whole-unit row violations that 4 sweeps cannot close (they are
+    # sized for ~1e-6 stall-exit residuals), and every downstream consumer
+    # — recourse solves, cut validity, the MC evaluator — assumes a
+    # stage-1-feasible candidate. The extra loop is entered only when the
+    # post-sweep violation exceeds a threshold orders of magnitude above
+    # fp noise, so healthy iterations stay BITWISE identical to the fixed
+    # 4-sweep path (the sharded-vs-single trajectory tests pin that), while
+    # broken ones are projected to feasibility.
+    feas_big = 1e-6 * (1.0 + jnp.abs(arrays.b1))
+
+    def _repair_cond(carry):
+        it, x = carry
+        return jnp.logical_and(it < 60,
+                               jnp.any(jnp.abs(_row_viol(x)) > feas_big))
+
+    _, x_candidate = jax.lax.while_loop(
+        _repair_cond, lambda c: (c[0] + 1, _repair_sweep(0, c[1])),
+        (jnp.zeros((), jnp.int32), x_candidate))
     cut_dual = cut_dual_slice(mu, m1, n1, E, K)
 
     new_state = _dc.replace(

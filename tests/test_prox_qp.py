@@ -141,3 +141,26 @@ def test_captured_compromise_qps_converge(fname):
     assert bool(st["qp_converged"]), float(st["qp_err"])
     assert np.all(np.isfinite(np.asarray(z)))
     assert np.all(np.isfinite(np.asarray(mu)))
+
+
+def test_stale_warm_start_triggers_cold_restart():
+    """Regression: a lands master QP (seed 5, iteration 85) whose
+    previous-iteration warm start traps ADMM in a basin the rho-adaptation
+    deadband never escapes — the warm solve exits at err ~1.7e-2 (a
+    whole-unit stage-1 violation) while a cold start converges to 3e-16.
+    solve_qp must detect the missed tolerance and re-run cold; the
+    infeasible-incumbent chain this caused is separately gated in
+    sd_step (candidate feasibility check)."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "master_qp_warm_stall_lands.npz")
+    d = np.load(path)
+    z, mu, st = solve_qp(
+        jnp.asarray(d["p"]), jnp.asarray(d["g"]), jnp.asarray(d["A"]),
+        jnp.asarray(d["l"]), jnp.asarray(d["u"]), jnp.asarray(d["is_eq"]),
+        QPConfig(tol=1e-9, max_iters=4_000),
+        z0=jnp.asarray(d["warm_z"]), mu0=jnp.asarray(d["warm_mu"]))
+    assert bool(st["qp_converged"]), float(st["qp_err"])
+    # the true optimum has x = (0, 0, 12, 6.749...): sum-capacity row active
+    zh = np.asarray(z)
+    assert abs(zh[:4].sum() - 12.0) < 1e-6, zh
