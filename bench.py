@@ -266,6 +266,17 @@ def child(args) -> int:
             out["ssn_time_to_gap"] = _bench_sd_gap(inst, config, sd_iters)
         except Exception as e:  # keep the headline metric on any SD failure
             out["ssn_time_to_gap"] = {"error": f"{type(e).__name__}: {e}"}
+        # second flagship workload per BASELINE.md ("wall-clock to SD gap
+        # on SSN/STORM"): storm is the largest instance (714x1381, 117 rv)
+        try:
+            storm_iters = 1500 if on_tpu else 60
+            storm_cfg = SDConfig(pdhg=PDHGConfig(tol=1e-4,
+                                                 max_iters=80_000))
+            storm = load_instance("storm", dtype=storm_cfg.jdtype)
+            out["storm_time_to_gap"] = _bench_sd_gap(
+                storm, storm_cfg, storm_iters)
+        except Exception as e:
+            out["storm_time_to_gap"] = {"error": f"{type(e).__name__}: {e}"}
     print(json.dumps(out), flush=True)
     return 0
 
