@@ -45,6 +45,10 @@ class PDHGConfig:
     # Fused VMEM-resident Pallas kernel for the inner PDHG round (TPU only;
     # ignored on other backends).
     use_pallas: bool = True
+    # Small-block (sub-128-row) kernels: use exact f32 dots instead of
+    # bf16x3. At 8 rows the extra MXU passes are latency-noise; whether
+    # they buy convergence is instance-dependent (see ops/pallas).
+    pallas_exact_small: bool = False
     # Batch compaction: convergence across a scenario panel is heavily
     # skewed (ssn B=4096: 95% of LPs done by round 80, the last at 423), so
     # once the active count fits a smaller static batch, sort converged

@@ -24,7 +24,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLK = 128  # batch rows per grid step
+BLK = 128  # batch rows per grid step (large-panel default)
+
+
+def pick_blk(batch: int) -> int:
+    """Batch block for a given panel size.
+
+    Large panels tile at 128 rows (best MXU row utilization). Small
+    panels — the SD step solves 2EB elements, usually 2 — round up to
+    the f32 sublane multiple (8) instead: padding 2 -> 128 wastes 64x
+    the compute and was measured SLOWER than the XLA loop, while 2 -> 8
+    keeps the VMEM-resident round's latency advantage (the XLA loop
+    pays ~3us of kernel dispatch per PDHG iteration at this size).
+    """
+    if batch >= 4 * BLK:
+        return BLK
+    return min(BLK, max(8, -(-batch // 8) * 8))
 
 
 def _split_bf16(x):
@@ -43,7 +58,30 @@ def _dot3(ahi, alo, bhi, blo, dims):
     return d(ahi, bhi) + d(ahi, blo) + d(alo, bhi)
 
 
-def _kernel(n_inner: int,
+def _make_dots(exact: bool):
+    """Dot strategy for the fused round.
+
+    bf16x3 (~f32-grade, half the MXU cost of full f32 emulation) is the
+    default everywhere: a fixed-state A/B on ssn/storm B=2 solves showed
+    iteration counts matching the exact-f32 XLA loop while exact f32
+    (HIGHEST) in-kernel ran ~50% slower per iteration with no iteration
+    advantage. The exact path is kept behind PDHGConfig.pallas_exact_small
+    for instances where the bf16x3 rounding might bite.
+    """
+    if exact:
+        split = lambda x: (x, None)
+
+        def dot(ahi, alo, bhi, blo, dims):
+            return jax.lax.dot_general(
+                ahi, bhi, (dims, ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+
+        return split, dot
+    return _split_bf16, _dot3
+
+
+def _kernel(n_inner: int, exact: bool,
             K_ref, q_ref, lb_ref, ub_ref, eqmask_ref, ht_ref,
             tau_ref, sig_ref, Y_ref, L_ref,
             Yout_ref, Lout_ref, Ysum_ref, Lsum_ref):
@@ -56,18 +94,19 @@ def _kernel(n_inner: int,
     tau = tau_ref[:]                  # [BLK, 1]
     sig = sig_ref[:]                  # [BLK, 1]
 
-    Khi, Klo = _split_bf16(K)         # constant across the round
+    split, dot = _make_dots(exact)
+    Khi, Klo = split(K)               # constant across the round
 
     def body(_, carry):
         Y, L, Ys, Ls = carry
-        Lhi, Llo = _split_bf16(L)
+        Lhi, Llo = split(L)
         # G = q - L K           [BLK, n]
-        G = q - _dot3(Lhi, Llo, Khi, Klo, ((1,), (0,)))
+        G = q - dot(Lhi, Llo, Khi, Klo, ((1,), (0,)))
         Y1 = jnp.clip(Y - tau * G, lb, ub)
         Yb = 2.0 * Y1 - Y
-        Ybhi, Yblo = _split_bf16(Yb)
+        Ybhi, Yblo = split(Yb)
         # S = ht - (2 Y1 - Y) K'   [BLK, m]
-        S = ht - _dot3(Ybhi, Yblo, Khi, Klo, ((1,), (1,)))
+        S = ht - dot(Ybhi, Yblo, Khi, Klo, ((1,), (1,)))
         Lr = L + sig * S
         L1 = eq * Lr + (1.0 - eq) * jnp.maximum(Lr, 0.0)
         return Y1, L1, Ys + Y1, Ls + L1
@@ -86,7 +125,7 @@ def _kernel(n_inner: int,
     Lsum_ref[:] = Ls * inv
 
 
-def _kernel_halpern(n_inner: int,
+def _kernel_halpern(n_inner: int, exact: bool,
                     K_ref, q_ref, lb_ref, ub_ref, eqmask_ref, ht_ref,
                     tau_ref, sig_ref, Y_ref, L_ref, kh_ref,
                     Yanc_ref, Lanc_ref,
@@ -111,16 +150,17 @@ def _kernel_halpern(n_inner: int,
     Yanc = Yanc_ref[:]
     Lanc = Lanc_ref[:]
 
-    Khi, Klo = _split_bf16(K)
+    split, dot = _make_dots(exact)
+    Khi, Klo = split(K)
 
     def body(t, carry):
         Y, L, _, _ = carry
-        Lhi, Llo = _split_bf16(L)
-        G = q - _dot3(Lhi, Llo, Khi, Klo, ((1,), (0,)))
+        Lhi, Llo = split(L)
+        G = q - dot(Lhi, Llo, Khi, Klo, ((1,), (0,)))
         Y1 = jnp.clip(Y - tau * G, lb, ub)
         Yb = 2.0 * Y1 - Y
-        Ybhi, Yblo = _split_bf16(Yb)
-        S = ht - _dot3(Ybhi, Yblo, Khi, Klo, ((1,), (1,)))
+        Ybhi, Yblo = split(Yb)
+        S = ht - dot(Ybhi, Yblo, Khi, Klo, ((1,), (1,)))
         Lr = L + sig * S
         L1 = eq * Lr + (1.0 - eq) * jnp.maximum(Lr, 0.0)
         k = kh + t.astype(jnp.float32)
@@ -139,13 +179,14 @@ def _kernel_halpern(n_inner: int,
     Lcand_ref[:] = Lc
 
 
-@partial(jax.jit, static_argnames=("n_inner",))
+@partial(jax.jit, static_argnames=("n_inner", "blk", "exact"))
 def pdhg_round_pallas_halpern(K, q, lb, ub, is_eq, ht, tau, sig, Y, L,
-                              kh, Yanc, Lanc, n_inner: int):
+                              kh, Yanc, Lanc, n_inner: int, blk: int = BLK,
+                              exact: bool = False):
     """Halpern round; returns (Ycarry, Lcarry, Ycand, Lcand)."""
     B, m = ht.shape
     n = K.shape[1]
-    assert B % BLK == 0, (B, BLK)
+    assert B % blk == 0, (B, blk)
     dt = K.dtype
 
     q2 = q.reshape(1, n)
@@ -156,18 +197,18 @@ def pdhg_round_pallas_halpern(K, q, lb, ub, is_eq, ht, tau, sig, Y, L,
     sig2 = sig.reshape(B, 1)
     kh2 = kh.astype(jnp.float32).reshape(B, 1)
 
-    grid = (B // BLK,)
-    row_spec = pl.BlockSpec((BLK, m), lambda i: (i, 0),
+    grid = (B // blk,)
+    row_spec = pl.BlockSpec((blk, m), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    col_spec = pl.BlockSpec((BLK, n), lambda i: (i, 0),
+    col_spec = pl.BlockSpec((blk, n), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    scl_spec = pl.BlockSpec((BLK, 1), lambda i: (i, 0),
+    scl_spec = pl.BlockSpec((blk, 1), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
 
     call = pl.pallas_call(
-        partial(_kernel_halpern, n_inner),
+        partial(_kernel_halpern, n_inner, exact),
         grid=grid,
         in_specs=[
             full(m, n), full(1, n), full(1, n), full(1, n), full(1, m),
@@ -195,17 +236,17 @@ def pdhg_round_pallas_halpern(K, q, lb, ub, is_eq, ht, tau, sig, Y, L,
     return tuple(out)
 
 
-@partial(jax.jit, static_argnames=("n_inner",))
+@partial(jax.jit, static_argnames=("n_inner", "blk", "exact"))
 def pdhg_round_pallas(K, q, lb, ub, is_eq, ht, tau, sig, Y, L,
-                      n_inner: int):
+                      n_inner: int, blk: int = BLK, exact: bool = False):
     """Run n_inner PDHG steps; returns (Y, L, Yavg, Lavg).
 
     Args are the SCALED problem (as in PreparedLP) with finite bound
-    sentinels already substituted. B must be a multiple of BLK.
+    sentinels already substituted. B must be a multiple of blk.
     """
     B, m = ht.shape
     n = K.shape[1]
-    assert B % BLK == 0, (B, BLK)
+    assert B % blk == 0, (B, blk)
     dt = K.dtype
 
     q2 = q.reshape(1, n)
@@ -215,18 +256,18 @@ def pdhg_round_pallas(K, q, lb, ub, is_eq, ht, tau, sig, Y, L,
     tau2 = tau.reshape(B, 1)
     sig2 = sig.reshape(B, 1)
 
-    grid = (B // BLK,)
-    row_spec = pl.BlockSpec((BLK, m), lambda i: (i, 0),
+    grid = (B // blk,)
+    row_spec = pl.BlockSpec((blk, m), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    col_spec = pl.BlockSpec((BLK, n), lambda i: (i, 0),
+    col_spec = pl.BlockSpec((blk, n), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    scl_spec = pl.BlockSpec((BLK, 1), lambda i: (i, 0),
+    scl_spec = pl.BlockSpec((blk, 1), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
 
     call = pl.pallas_call(
-        partial(_kernel, n_inner),
+        partial(_kernel, n_inner, exact),
         grid=grid,
         in_specs=[
             full(m, n),          # K

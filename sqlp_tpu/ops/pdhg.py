@@ -212,17 +212,20 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
 
     # The fused Pallas round keeps K and the block iterates VMEM-resident
     # across iterations (the XLA loop streams the panels through HBM every
-    # iteration and is bandwidth-bound). TPU-only; batch padded to the
-    # kernel block size with copies of row 0 (they converge and are cut off).
-    # Only worthwhile for large panels: small batches get padded to the
-    # kernel block (128) and the wasted rows cost more than the locality
-    # saves (measured at B=2: 89 it/s pallas vs 102 it/s XLA).
+    # iteration and is bandwidth-bound at large B, and pays per-op kernel
+    # dispatch latency ~3us/iteration at small B). TPU-only; batch padded
+    # to the kernel block size with copies of row 0 (they converge and are
+    # cut off). The block adapts to the panel: 128 rows for large panels
+    # (MXU row utilization), the sublane multiple for small ones — the SD
+    # step's 2EB-element solves run thousands of sequential iterations
+    # where the VMEM-resident round is ~4x faster than the XLA loop
+    # (padding 2 -> 128 instead was measured SLOWER: 89 vs 102 it/s).
     use_pallas = (bool(config.use_pallas)
-                  and jax.default_backend() == "tpu"
-                  and B_orig >= 512)
+                  and jax.default_backend() == "tpu")
     if use_pallas:
         from sqlp_tpu.ops.pallas.pdhg_kernel import (
-            BLK, pdhg_round_pallas, pdhg_round_pallas_halpern)
+            pdhg_round_pallas, pdhg_round_pallas_halpern, pick_blk)
+        BLK = pick_blk(B_orig)
         B = ((B_orig + BLK - 1) // BLK) * BLK
         if B != B_orig:
             H = jnp.concatenate(
@@ -268,7 +271,8 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
             if pallas_ok:
                 Y, L, Yc, Lc = pdhg_round_pallas_halpern(
                     lp.K, lp.q, lb, ub, lp.is_eq, ht, tau[:, 0], sig[:, 0],
-                    Y, L, kh, Yanc, Lanc, config.restart_every)
+                    Y, L, kh, Yanc, Lanc, config.restart_every, blk=BLK,
+                    exact=config.pallas_exact_small and BLK < 128)
                 return Y, L, [(Yc, Lc)]
 
             def body(t, carry):
@@ -291,7 +295,8 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
         if pallas_ok:
             Y, L, Ya, La = pdhg_round_pallas(
                 lp.K, lp.q, lb, ub, lp.is_eq, ht, tau[:, 0], sig[:, 0],
-                Y, L, config.restart_every)
+                Y, L, config.restart_every, blk=BLK,
+                exact=config.pallas_exact_small and BLK < 128)
             return Y, L, [(Y, L), (Ya, La)]
 
         def body(_, carry):
