@@ -77,6 +77,9 @@ class QPConfig:
     rho: float = 0.1
     rho_eq_scale: float = 1e3
     over_relax: float = 1.6
+    # Fused VMEM-resident Pallas kernel for the ADMM check interval (TPU
+    # f32 direct-inverse path only; ignored elsewhere).
+    use_pallas: bool = True
     # Windowed stagnation cutoff: every `stall_rounds` check intervals the
     # best KKT error seen must have improved by >=3% over the previous
     # window, else the solve stops — the iterate is at its (dtype) numeric

@@ -86,7 +86,8 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
              l: jax.Array, u: jax.Array, is_eq: jax.Array,
              config: QPConfig = QPConfig(),
              z0: Optional[jax.Array] = None,
-             mu0: Optional[jax.Array] = None
+             mu0: Optional[jax.Array] = None,
+             rho_init: Optional[jax.Array] = None
              ) -> Tuple[jax.Array, jax.Array, dict]:
     """Solve min 1/2 z'diag(p)z + g'z s.t. l <= Az <= u by ADMM.
 
@@ -98,6 +99,11 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
       is_eq: [mA] bool marking equality rows (gets a stiffer ADMM penalty).
       config: static parameters.
       z0, mu0: optional warm start.
+      rho_init: optional starting ADMM penalty (scalar) — pass the
+        previous solve's adapted value (stats["qp_rho"]) when solving a
+        sequence of closely related QPs (the SD master gains one cut row
+        per iteration): adaptation otherwise re-walks the penalty scale
+        from config.rho in sqrt(residual-ratio) steps every solve.
 
     Returns:
       (z, mu, stats).
@@ -181,10 +187,13 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
         return x + _dot(Minv, b - _dot(M, x))
 
     def factor(rho_s):
+        """Build (M, Mi) for the z-update at penalty rho_s. Mi is the
+        explicit inverse on the direct path; on the PCG path it is a dummy
+        copy of M (kept so the while-loop carry has one fixed structure)."""
         rho_vec = jnp.where(is_eq, rho_s * config.rho_eq_scale, rho_s)
         M = jnp.diag(p_s + sig) + _dot(As.T * rho_vec[None, :], As)
-        Minv = jnp.linalg.inv(M) if use_inv else None
-        return rho_vec, M, Minv
+        Mi = jnp.linalg.inv(M) if use_inv else M
+        return M, Mi
 
     def one_step(carry, rho_vec, M, Minv):
         z, zeta, mu = carry
@@ -219,13 +228,34 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
             jnp.logical_and(it < n_rounds, err > eff_tol),
             jnp.logical_not(stalled))
 
+    # Fused VMEM-resident check interval (ops/pallas/admm_kernel.py): one
+    # kernel launch replaces the ~10-op-per-iteration XLA chain whose
+    # per-op launch latency dominates the master solve on TPU. f32 +
+    # direct-inverse path only; the XLA loop remains for CPU and the
+    # emulated-f64 escape hatch.
+    use_pallas_round = (config.use_pallas and use_inv
+                        and dtype == jnp.float32
+                        and jax.default_backend() == "tpu")
+
     def round_step(carry):
         (z, zeta, mu, it, _, rho_s, err_best, winct, err_mark, _stalled,
-         z_best, mu_best, restarts) = carry
-        rho_vec, M, Minv = factor(rho_s)
-        z, zeta, mu = jax.lax.fori_loop(
-            0, config.check_every,
-            lambda _, c: one_step(c, rho_vec, M, Minv), (z, zeta, mu))
+         z_best, mu_best, restarts, M, Mi) = carry
+        # (M, Mi) travel in the carry and are refactored at the END of a
+        # round only when rho actually changed — most check intervals keep
+        # rho (the adaptation deadband), and the [nz, nz] inverse was a
+        # fixed ~25us tax per interval.
+        rho_vec = jnp.where(is_eq, rho_s * config.rho_eq_scale, rho_s)
+        if use_pallas_round:
+            from sqlp_tpu.ops.pallas.admm_kernel import admm_round_pallas
+            z, zeta, mu = admm_round_pallas(
+                As, M, Mi, g_s, lc, uc, rho_vec, z, zeta, mu,
+                config.check_every, config.over_relax, config.sigma)
+        else:
+            z, zeta, mu = jax.lax.fori_loop(
+                0, config.check_every,
+                lambda _, c: one_step(c, rho_vec, M,
+                                      Mi if use_inv else None),
+                (z, zeta, mu))
         pres, dres = residuals(z, zeta, mu)
         err = jnp.maximum(pres, dres)
         # Track the best iterate seen at a check point: under rho
@@ -300,29 +330,35 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
         err_mark = jnp.where(finite, err_mark, jnp.asarray(jnp.inf, dtype))
         stalled = jnp.where(finite, stalled, False)
         rho_s = jnp.where(finite, rho_s, jnp.asarray(config.rho, dtype))
+        changed = jnp.logical_or(scale != 1.0, jnp.logical_not(finite))
+        M, Mi = jax.lax.cond(changed, factor, lambda _: (M, Mi), rho_s)
         return (z, zeta, mu, it + 1, err, rho_s, err_best, winct, err_mark,
-                stalled, z_best, mu_best, restarts)
+                stalled, z_best, mu_best, restarts, M, Mi)
 
     rho0 = jnp.asarray(config.rho, dtype)
+    rho_w = rho0 if rho_init is None else jnp.clip(
+        jnp.asarray(rho_init, dtype), 1e-6, 1e6)
 
-    def _run(z_init, mu_init):
+    def _run(z_init, mu_init, rho_start):
         """Full ADMM loop from one starting point; returns the best
         check-point iterate (not the last one — they differ when the loop
-        stops on stall or budget mid-oscillation)."""
+        stops on stall or budget mid-oscillation) plus the adapted rho."""
         zeta0 = jnp.clip(_dot(As, z_init), lc, uc)
+        M0, Mi0 = factor(rho_start)
         init = (z_init, zeta0, mu_init, jnp.zeros((), jnp.int32),
-                jnp.asarray(jnp.inf, dtype), rho0,
+                jnp.asarray(jnp.inf, dtype), rho_start,
                 jnp.asarray(jnp.inf, dtype), jnp.zeros((), jnp.int32),
                 jnp.asarray(jnp.inf, dtype), jnp.asarray(False),
-                z_init, mu_init, jnp.zeros((), jnp.int32))
-        (z_last, _, mu_last, rounds, err_last, _, err_best, _, _, _,
-         z_best, mu_best, _) = jax.lax.while_loop(cond, round_step, init)
+                z_init, mu_init, jnp.zeros((), jnp.int32), M0, Mi0)
+        (z_last, _, mu_last, rounds, err_last, rho_last, err_best, _, _, _,
+         z_best, mu_best, _, _, _) = jax.lax.while_loop(cond, round_step,
+                                                        init)
         use_best = err_best < err_last
         zr = jnp.where(use_best, z_best, z_last)
         mur = jnp.where(use_best, mu_best, mu_last)
-        return zr, mur, jnp.minimum(err_best, err_last), rounds
+        return zr, mur, jnp.minimum(err_best, err_last), rounds, rho_last
 
-    z, mu, err, rounds = _run(z_w, mu_w)
+    z, mu, err, rounds, rho_out = _run(z_w, mu_w, rho_w)
     if z0 is not None or mu0 is not None:
         # A STALE warm start can trap ADMM for the whole budget: after the
         # cut pool changes (insert/evict + incumbent-cut refresh) the
@@ -335,14 +371,18 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
         # iterations). When a warm-started solve misses tolerance, re-run
         # cold and keep the better iterate; warm starts stay the fast path.
         def _retry(_):
-            zc, muc, errc, rc = _run(jnp.zeros((nz,), dtype),
-                                     jnp.zeros((mA,), dtype))
+            # cold retry also resets rho: a carried penalty can be part of
+            # the same trap as the stale (z, mu)
+            zc, muc, errc, rc, rhoc = _run(jnp.zeros((nz,), dtype),
+                                           jnp.zeros((mA,), dtype), rho0)
             better = errc < err
             return (jnp.where(better, zc, z), jnp.where(better, muc, mu),
-                    jnp.minimum(errc, err), rounds + rc)
+                    jnp.minimum(errc, err), rounds + rc,
+                    jnp.where(better, rhoc, rho_out))
 
-        z, mu, err, rounds = jax.lax.cond(
-            err <= eff_tol, lambda _: (z, mu, err, rounds), _retry, None)
+        z, mu, err, rounds, rho_out = jax.lax.cond(
+            err <= eff_tol, lambda _: (z, mu, err, rounds, rho_out),
+            _retry, None)
 
     # ---- OSQP-style polish: the ADMM termination test is relative to the
     # largest row scale, so on mixed-scale masters (storm: cut rows ~1e7,
@@ -501,6 +541,8 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
         "qp_err": err_final.astype(out_dtype),
         "qp_polished": take,
         "qp_converged": jnp.logical_or(err <= eff_tol, err_final <= eff_tol),
+        # adapted penalty, for warm-starting the next related solve
+        "qp_rho": rho_out.astype(out_dtype),
     }
     return ((dc * z).astype(out_dtype),
             ((dr / cost_s) * mu).astype(out_dtype), stats)

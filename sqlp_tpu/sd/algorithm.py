@@ -285,7 +285,8 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
     # ---- 8. regularized master solve (algorithm.jl:101-112)
     p_diag, g, A, l, u, is_eq = assemble_master(arrays, espec, state_now, rho)
     z, mu, qp_stats = solve_qp(p_diag, g, A, l, u, is_eq, config.qp,
-                               z0=state.master_z, mu0=state.master_mu)
+                               z0=state.master_z, mu0=state.master_mu,
+                               rho_init=state.master_rho)
     # ADMM converges in a relative sense; clip residual bound violations so
     # the candidate is always box-feasible (a slightly-negative component
     # made storm's recourse infeasible and poisoned the dual pool), then
@@ -342,6 +343,7 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
         master_solved=qp_stats["qp_converged"],
         master_z=z,
         master_mu=mu,
+        master_rho=qp_stats["qp_rho"],
         scen_dropped=state.scen_dropped + overflow,
         duals_dropped=duals_dropped,
         duals_score=duals_score,

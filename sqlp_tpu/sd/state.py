@@ -95,6 +95,11 @@ class SDState:
     master_solved: jax.Array  # bool (gates cut pruning, algorithm.jl:57)
     master_z: jax.Array       # [n1+E] warm start
     master_mu: jax.Array      # [mA] warm start
+    # previous solve's adapted ADMM penalty: successive masters differ by
+    # one cut row, so the adapted rho transfers; restarting adaptation
+    # from config.qp.rho every solve re-walks the scale in sqrt(ratio)
+    # steps
+    master_rho: jax.Array     # scalar
 
     # subproblem warm starts: previous iteration's PDHG solutions for the
     # [E*(cand,inc)*B] panel (x moves slowly under the prox term, so these
@@ -157,6 +162,7 @@ def init_state(inst: Instance, espec: EpigraphSpec, config: SDConfig,
         master_solved=jnp.asarray(False),
         master_z=f((n1 + E,)),
         master_mu=f((master_rows(n1, m1, E, K),)),
+        master_rho=jnp.asarray(config.qp.rho, dt),
         sub_warm_Y=f((2 * E * config.scenarios_per_iter, inst.n2)),
         sub_warm_L=f((2 * E * config.scenarios_per_iter, m2)),
     )
