@@ -88,14 +88,20 @@ class QPConfig:
     # master solve ran the full 4000-iteration budget). Windowed rather
     # than consecutive-interval because rho adaptation makes the error
     # oscillate, and lucky dips reset a consecutive counter forever.
-    stall_rounds: int = 6
+    # Window/restart budgets tuned on-TPU (ssn/storm SD runs): masters
+    # that reach tolerance do so well inside these budgets (qp_err p50
+    # ~4e-6), so the stall path mostly rules how long a floored solve
+    # burns; 3-round windows with a single probe restart cut mean ADMM
+    # iterations ~2.8x with unchanged trajectories and the same
+    # converged fraction.
+    stall_rounds: int = 3
     # A stalled window first forces a rho rebalance/kick (plateaus are
     # usually rho stuck in the adaptation deadband — seen on the lands
     # compromise QP, which creeps at 1.6x tol for ~4000 iterations until a
     # rebalance unlocks it); only after this many fruitless restarts does
     # the solve give up. Each restart is cheap (best-iterate tracking keeps
-    # the pre-kick point), so probe generously before declaring a floor.
-    stall_restarts: int = 4
+    # the pre-kick point).
+    stall_restarts: int = 1
     # A stall exit is only allowed when the best error is already within
     # this factor of the (dtype-clamped) tolerance: a true numeric floor
     # sits just above tol (ssn f32: 2e-4 vs 6e-5 = 3.3x; the lands

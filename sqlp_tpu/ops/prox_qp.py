@@ -408,7 +408,13 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
         grad = p_diag * zo + g
         dres = jnp.max(jnp.abs(grad + _dot(A.T, muo))
                        / (1.0 + jnp.abs(grad)))
-        return jnp.maximum(pres, dres)
+        e = jnp.maximum(pres, dres)
+        # NaN-safe: a blown-up candidate (e.g. a singular dual-repair
+        # solve producing NaN multipliers) must rank as worthless, not
+        # poison the running best via jnp.minimum's NaN propagation —
+        # observed as qp_err = NaN in storm run stats while the kept
+        # iterate itself was guarded and fine.
+        return jnp.where(jnp.isfinite(e), e, jnp.asarray(jnp.inf, dtype))
 
     delta = jnp.asarray(1e-8 if dtype == jnp.float64 else 1e-5, dtype)
     pt_inv = 1.0 / (p_s + delta)
