@@ -256,6 +256,31 @@ class SDSolver:
             vals = np.asarray(obj, np.float64)
             valid = np.asarray(stats["pdhg_valid"])
         bad = np.flatnonzero(~valid)
+        Hn = Hn_host if Hn_host is not None else np.asarray(H, np.float64)
+        if bad.size:
+            # Second chance ON DEVICE before the serial host fallback: a
+            # fresh solve of the failed subset, dual-warm-started at the
+            # pool's argmax vertex for each RHS (near-optimal for most
+            # scenarios at an SD iterate), converges ~70% of the
+            # stragglers (ssn panel: 420 -> 127 at 10ms/LP host cost
+            # avoided each). Batch padded to a power-of-two bucket so
+            # retries reuse a handful of compiled shapes.
+            bucket = max(64, 1 << (int(bad.size) - 1).bit_length())
+            idx = np.pad(bad, (0, bucket - bad.size), mode="edge")
+            Hb = jnp.asarray(Hn[idx], self.config.jdtype)
+            n_duals = int(self.state.n_duals)
+            L0 = None
+            if n_duals > 0:
+                from sqlp_tpu.parallel.mesh import to_host
+                pool = np.asarray(to_host(self.state.duals)[:n_duals],
+                                  np.float64)
+                L0 = jnp.asarray(pool[np.argmax(pool @ Hn[idx].T, axis=0)],
+                                 self.config.jdtype)
+            obj_r, _, _, st_r = solve_batch(self.prep_sub, Hb,
+                                            self.config.pdhg, L0=L0)
+            fixed = np.asarray(st_r["pdhg_valid"])[:bad.size]
+            vals[bad[fixed]] = np.asarray(obj_r, np.float64)[:bad.size][fixed]
+            bad = bad[~fixed]
         if bad.size:
             a = self.arrays_local
             q = np.asarray(a.q, np.float64)
@@ -263,13 +288,13 @@ class SDSolver:
             s2 = np.asarray(a.senses2)
             lb = np.asarray(a.lb2, np.float64)
             ub = np.asarray(a.ub2, np.float64)
-            Hn = Hn_host if Hn_host is not None else np.asarray(H, np.float64)
             for b in bad:
                 vals[b], _, _ = solve_lp_host(q, W, Hn[b], s2, lb, ub)
             warnings.warn(
                 f"{bad.size}/{len(vals)} recourse LPs missed "
                 f"valid_tol={self.config.pdhg.valid_tol:g} in the MC "
-                f"evaluator; re-solved exactly on host")
+                f"evaluator (after a device retry); re-solved exactly "
+                f"on host")
         return vals
 
     def evaluate(self, x=None, n_samples: int = 10_000, seed: int = 123,
