@@ -111,6 +111,16 @@ class QPConfig:
     # (observed at factor 100 on the lands compromise QP, which exited at
     # 1e-5 against tol 1e-7 and failed). Those solves run their budget.
     stall_tol_factor: float = 10.0
+    # Hard cap: after this many CONSECUTIVE non-improving windows, give up
+    # regardless of how far the error is from tolerance. 0 disables. Off
+    # by default because accuracy-critical one-shot solves (the lands
+    # compromise QP) legitimately creep below 3%/window for thousands of
+    # iterations before a gentle rho rebalance unlocks them; the SD
+    # master enables it (see SDConfig) — a late-run ssn master in f32
+    # floors at err ~3e-3, where near_tol blocks the stall exit and the
+    # solve burns its full budget (plus the cold retry: 8000 iterations)
+    # to return the same 3e-3 iterate a tenth of the budget reaches.
+    stall_hard_windows: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -175,7 +185,12 @@ class SDConfig:
 
     # --- nested kernel configs ---
     pdhg: PDHGConfig = dataclasses.field(default_factory=PDHGConfig)
-    qp: QPConfig = dataclasses.field(default_factory=QPConfig)
+    # Master QP defaults enable the hard stall cap: the per-iteration
+    # master tolerates a floored-but-stationary iterate (the repair
+    # pipeline in sd_step closes residual primal violations), so burning
+    # the full ADMM budget on an unreachable tolerance only costs time.
+    qp: QPConfig = dataclasses.field(
+        default_factory=lambda: QPConfig(stall_hard_windows=10))
 
     @property
     def jdtype(self):

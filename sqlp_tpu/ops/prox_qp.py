@@ -239,7 +239,7 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
 
     def round_step(carry):
         (z, zeta, mu, it, _, rho_s, err_best, winct, err_mark, _stalled,
-         z_best, mu_best, restarts, M, Mi) = carry
+         z_best, mu_best, restarts, M, Mi, hard_ct) = carry
         # (M, Mi) travel in the carry and are refactored at the END of a
         # round only when rho actually changed — most check intervals keep
         # rho (the adaptation deadband), and the [nz, nz] inverse was a
@@ -292,11 +292,20 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
         # the gentle rebalance path that eventually unlocks such solves,
         # and returning a barely-feasible x breaks induced feasibility
         # downstream (see QPConfig.stall_tol_factor).
+        # Hard cap: consecutive non-improving windows, counted regardless
+        # of near_tol (see QPConfig.stall_hard_windows) — a solve floored
+        # FAR from tolerance never passes near_tol and would otherwise
+        # burn its whole budget returning the same iterate.
+        hard_ct = jnp.where(window_done,
+                            jnp.where(improved, 0, hard_ct + 1), hard_ct)
+        hard_stalled = (jnp.asarray(config.stall_hard_windows > 0)
+                        & (hard_ct >= config.stall_hard_windows))
         near_tol = err_best <= config.stall_tol_factor * eff_tol
         stalled_win = jnp.logical_and(stalled_win, near_tol)
         restarts = jnp.where(stalled_win, restarts + 1, restarts)
-        stalled = jnp.logical_and(stalled_win,
-                                  restarts > config.stall_restarts)
+        stalled = jnp.logical_or(
+            jnp.logical_and(stalled_win, restarts > config.stall_restarts),
+            hard_stalled)
         # OSQP rho adaptation: rebalance the penalty toward the lagging
         # residual (refactorization is O(nz^3) on a tiny matrix, once per
         # check interval). Fixed rho stalls on badly conditioned masters.
@@ -330,10 +339,11 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
         err_mark = jnp.where(finite, err_mark, jnp.asarray(jnp.inf, dtype))
         stalled = jnp.where(finite, stalled, False)
         rho_s = jnp.where(finite, rho_s, jnp.asarray(config.rho, dtype))
+        hard_ct = jnp.where(finite, hard_ct, 0)
         changed = jnp.logical_or(scale != 1.0, jnp.logical_not(finite))
         M, Mi = jax.lax.cond(changed, factor, lambda _: (M, Mi), rho_s)
         return (z, zeta, mu, it + 1, err, rho_s, err_best, winct, err_mark,
-                stalled, z_best, mu_best, restarts, M, Mi)
+                stalled, z_best, mu_best, restarts, M, Mi, hard_ct)
 
     rho0 = jnp.asarray(config.rho, dtype)
     rho_w = rho0 if rho_init is None else jnp.clip(
@@ -349,10 +359,11 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
                 jnp.asarray(jnp.inf, dtype), rho_start,
                 jnp.asarray(jnp.inf, dtype), jnp.zeros((), jnp.int32),
                 jnp.asarray(jnp.inf, dtype), jnp.asarray(False),
-                z_init, mu_init, jnp.zeros((), jnp.int32), M0, Mi0)
+                z_init, mu_init, jnp.zeros((), jnp.int32), M0, Mi0,
+                jnp.zeros((), jnp.int32))
         (z_last, _, mu_last, rounds, err_last, rho_last, err_best, _, _, _,
-         z_best, mu_best, _, _, _) = jax.lax.while_loop(cond, round_step,
-                                                        init)
+         z_best, mu_best, _, _, _, _) = jax.lax.while_loop(
+            cond, round_step, init)
         use_best = err_best < err_last
         zr = jnp.where(use_best, z_best, z_last)
         mur = jnp.where(use_best, mu_best, mu_last)
