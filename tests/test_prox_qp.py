@@ -164,3 +164,52 @@ def test_stale_warm_start_triggers_cold_restart():
     # the true optimum has x = (0, 0, 12, 6.749...): sum-capacity row active
     zh = np.asarray(z)
     assert abs(zh[:4].sum() - 12.0) < 1e-6, zh
+
+
+def test_rho_warm_start_round_trip():
+    """rho_init threading: stats report the adapted penalty, and a
+    re-solve warm-started at (z, mu, qp_rho) converges immediately —
+    the SD master carries this across iterations (state.master_rho)."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "data", "compqp.npz")
+    d = np.load(path)
+    args = (jnp.asarray(d["p_diag"]), jnp.asarray(d["g"]),
+            jnp.asarray(d["A"]), jnp.asarray(d["l"]), jnp.asarray(d["u"]),
+            jnp.asarray(d["is_eq"]))
+    cfg = QPConfig(tol=1e-7, max_iters=8_000)
+    z, mu, st = solve_qp(*args, cfg)
+    assert bool(st["qp_converged"])
+    rho = st["qp_rho"]
+    assert np.isfinite(float(rho)) and float(rho) > 0
+    z2, mu2, st2 = solve_qp(*args, cfg, z0=z, mu0=mu, rho_init=rho)
+    assert bool(st2["qp_converged"])
+    assert int(st2["qp_iters"]) <= int(st["qp_iters"])
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_hard_stall_cap_bounds_iterations():
+    """stall_hard_windows caps a solve that cannot (or only slowly can)
+    reach tolerance, regardless of how far the error is from it: with the
+    cap the solve uses strictly fewer iterations on a budget-burning
+    problem and still returns finite iterates. The cap is OFF by default
+    so accuracy-critical one-shot solves (compromise QPs) keep their full
+    creeping budget."""
+    import os
+    assert QPConfig().stall_hard_windows == 0
+    from sqlp_tpu.config import SDConfig
+    assert SDConfig().qp.stall_hard_windows > 0
+    path = os.path.join(os.path.dirname(__file__), "data", "compqp.npz")
+    d = np.load(path)
+    args = (jnp.asarray(d["p_diag"]), jnp.asarray(d["g"]),
+            jnp.asarray(d["A"]), jnp.asarray(d["l"]), jnp.asarray(d["u"]),
+            jnp.asarray(d["is_eq"]))
+    # an unreachable tolerance forces the budget-burning regime
+    base = QPConfig(tol=1e-16, max_iters=4_000)
+    z0, mu0, st0 = solve_qp(*args, base)
+    capped = QPConfig(tol=1e-16, max_iters=4_000, stall_hard_windows=2)
+    z1, mu1, st1 = solve_qp(*args, capped)
+    assert int(st1["qp_iters"]) < int(st0["qp_iters"])
+    assert np.all(np.isfinite(np.asarray(z1)))
+    assert np.all(np.isfinite(np.asarray(mu1)))
+    assert np.isfinite(float(st1["qp_err"]))
