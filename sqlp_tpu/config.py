@@ -166,6 +166,16 @@ class SDConfig:
     # --- incumbent cut refresh (sd_iteration! kwarg, algorithm.jl:40) ---
     update_incumbent_cut: bool = True
 
+    # --- subproblem dual warm start ---
+    # Warm-start each SD-step subproblem dual at the pool's argmax vertex
+    # for its RHS instead of the previous iteration's dual. SD's core
+    # premise is that optimal duals repeat across scenarios: once the
+    # pool is populated, the argmax vertex is near-optimal for most new
+    # draws (measured late-run ssn: ~35% fewer PDHG iterations over 10
+    # scenario draws, winning 7/10; early-run it is neutral). Falls back
+    # to the previous dual while the pool is empty.
+    pool_dual_warm_start: bool = True
+
     # --- dual-vertex crossover (ops/crossover.py) ---
     # Round PDHG's epsilon-optimal (interior-ish) duals to basic dual
     # vertices before pool admission, recovering the cut sharpness of the

@@ -150,9 +150,27 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
     # per-epigraph cand-then-inc sequence (algorithm.jl:49-54).
     H = jnp.stack([h_cand.reshape(E, B, m2), h_inc.reshape(E, B, m2)],
                   axis=1).reshape(2 * E * B, m2)
+    if config.pool_dual_warm_start:
+        # dual warm start from the pool: the argmax vertex for each RHS
+        # (same [D, m2] x [m2, P] shape family as the cut-build scoring,
+        # so the matmul is noise next to the PDHG iterations it saves).
+        # Scores are quantized before the argmax: any vertex within 1e-4
+        # (relative) of the best is an equally good warm start, and the
+        # floor makes the pick invariant to matmul tiling — mesh-sharded
+        # and single-device runs otherwise flip near-ties and bitwise
+        # trajectory equality (tests/test_parallel.py) breaks.
+        D = config.max_dual_vertices
+        live = jnp.arange(D)[:, None] < state.n_duals
+        scores = jnp.where(live, jnp.matmul(state.duals, H.T,
+                                            precision=_PREC), -jnp.inf)
+        quantum = 1e-4 * (1.0 + jnp.abs(jnp.max(scores, axis=0)))
+        L0_pool = state.duals[jnp.argmax(jnp.floor(scores / quantum),
+                                         axis=0)]
+        L0 = jnp.where(state.n_duals > 0, L0_pool, state.sub_warm_L)
+    else:
+        L0 = state.sub_warm_L
     sub_obj, sub_Y, Pi, sub_stats = solve_batch(
-        prep_sub, H, config.pdhg,
-        Y0=state.sub_warm_Y, L0=state.sub_warm_L)
+        prep_sub, H, config.pdhg, Y0=state.sub_warm_Y, L0=L0)
 
     if config.dual_crossover:
         # round interior-ish first-order duals to basic vertices (cut
