@@ -88,20 +88,22 @@ class QPConfig:
     # master solve ran the full 4000-iteration budget). Windowed rather
     # than consecutive-interval because rho adaptation makes the error
     # oscillate, and lucky dips reset a consecutive counter forever.
-    # Window/restart budgets tuned on-TPU (ssn/storm SD runs): masters
-    # that reach tolerance do so well inside these budgets (qp_err p50
-    # ~4e-6), so the stall path mostly rules how long a floored solve
-    # burns; 3-round windows with a single probe restart cut mean ADMM
-    # iterations ~2.8x with unchanged trajectories and the same
-    # converged fraction.
-    stall_rounds: int = 3
+    # The GLOBAL defaults stay generous: accuracy-critical one-shot solves
+    # (the captured compromise QPs, tests/data) creep below 3%/window and
+    # need multiple rho kicks in both directions before giving up. The SD
+    # master — where a floored-but-stationary iterate is tolerable because
+    # the repair pipeline in sd_step closes residual violations — tightens
+    # these to 3/1 via SDConfig's qp override (measured on-TPU ssn/storm:
+    # 3-round windows with a single probe restart cut mean ADMM iterations
+    # ~2.8x with unchanged trajectories and the same converged fraction).
+    stall_rounds: int = 6
     # A stalled window first forces a rho rebalance/kick (plateaus are
     # usually rho stuck in the adaptation deadband — seen on the lands
     # compromise QP, which creeps at 1.6x tol for ~4000 iterations until a
     # rebalance unlocks it); only after this many fruitless restarts does
     # the solve give up. Each restart is cheap (best-iterate tracking keeps
     # the pre-kick point).
-    stall_restarts: int = 1
+    stall_restarts: int = 4
     # A stall exit is only allowed when the best error is already within
     # this factor of the (dtype-clamped) tolerance: a true numeric floor
     # sits just above tol (ssn f32: 2e-4 vs 6e-5 = 3.3x; the lands
@@ -195,12 +197,15 @@ class SDConfig:
 
     # --- nested kernel configs ---
     pdhg: PDHGConfig = dataclasses.field(default_factory=PDHGConfig)
-    # Master QP defaults enable the hard stall cap: the per-iteration
-    # master tolerates a floored-but-stationary iterate (the repair
-    # pipeline in sd_step closes residual primal violations), so burning
-    # the full ADMM budget on an unreachable tolerance only costs time.
+    # Master QP defaults tighten the stall budgets and enable the hard
+    # stall cap: the per-iteration master tolerates a floored-but-
+    # stationary iterate (the repair pipeline in sd_step closes residual
+    # primal violations), so burning the full ADMM budget on an
+    # unreachable tolerance only costs time. One-shot accuracy-critical
+    # QPs (compromise decisions) use the generous QPConfig() defaults.
     qp: QPConfig = dataclasses.field(
-        default_factory=lambda: QPConfig(stall_hard_windows=10))
+        default_factory=lambda: QPConfig(
+            stall_rounds=3, stall_restarts=1, stall_hard_windows=10))
 
     @property
     def jdtype(self):

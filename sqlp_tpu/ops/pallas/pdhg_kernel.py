@@ -27,19 +27,41 @@ from jax.experimental.pallas import tpu as pltpu
 BLK = 128  # batch rows per grid step (large-panel default)
 
 
-def pick_blk(batch: int) -> int:
+# VMEM residency budget for a single-step mid-size block (see pick_blk);
+# conservative against the ~16 MB/core capacity because Mosaic also keeps
+# loop temporaries (G, S, the reflected iterate) live across the fused round.
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def pick_blk(batch: int, m: int = 0, n: int = 0) -> int:
     """Batch block for a given panel size.
 
-    Large panels tile at 128 rows (best MXU row utilization). Small
-    panels — the SD step solves 2EB elements, usually 2 — round up to
-    the f32 sublane multiple (8) instead: padding 2 -> 128 wastes 64x
+    Large panels (>= 4*BLK) tile at 128 rows (best MXU row utilization).
+    Small panels — the SD step solves 2EB elements, usually 2 — round up
+    to the f32 sublane multiple (8) instead: padding 2 -> 128 wastes 64x
     the compute and was measured SLOWER than the XLA loop, while 2 -> 8
     keeps the VMEM-resident round's latency advantage (the XLA loop
     pays ~3us of kernel dispatch per PDHG iteration at this size).
+
+    Mid-size panels (128 < batch < 512) run as ONE grid step sized to the
+    batch (rounded to the sublane multiple) when the kernel's VMEM
+    residency fits the budget, so B=136 pads to 136 rather than to 256;
+    pass (m, n) to enable the check. When m/n are unknown or the block
+    would not fit, fall back to 128-row tiling (pad to the next multiple
+    of 128 — at most 2x compute, and only on panels large enough that the
+    per-iteration dispatch saving still dominates).
     """
     if batch >= 4 * BLK:
         return BLK
-    return min(BLK, max(8, -(-batch // 8) * 8))
+    blk = max(8, -(-batch // 8) * 8)
+    if blk <= BLK:
+        return blk
+    if m and n:
+        # K plus ~6 live row-panels each of [blk, m] and [blk, n], f32.
+        vmem = 4 * (m * n + 6 * blk * (m + n))
+        if vmem <= _VMEM_BUDGET:
+            return blk
+    return BLK
 
 
 def _split_bf16(x):

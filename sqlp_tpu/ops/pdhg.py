@@ -225,7 +225,7 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
     if use_pallas:
         from sqlp_tpu.ops.pallas.pdhg_kernel import (
             pdhg_round_pallas, pdhg_round_pallas_halpern, pick_blk)
-        BLK = pick_blk(B_orig)
+        BLK = pick_blk(B_orig, lp.m, lp.n)
         B = ((B_orig + BLK - 1) // BLK) * BLK
         if B != B_orig:
             H = jnp.concatenate(

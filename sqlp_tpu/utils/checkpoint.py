@@ -50,7 +50,23 @@ def load_state(path: str, template: Optional[SDState] = None) -> SDState:
     names = {f.name for f in dataclasses.fields(SDState)}
     missing = names - fields.keys()
     if missing:
-        raise ValueError(f"checkpoint {path} missing fields: {sorted(missing)}")
+        # Forward compatibility with checkpoints written before SDState
+        # grew a field (e.g. master_rho): scalar fields default from the
+        # template (its init_state value — for master_rho, config.qp.rho),
+        # which is exactly what a pre-change run was implicitly using.
+        # Array fields have no safe default, so those still hard-error.
+        defaultable = {n for n in missing
+                       if template is not None
+                       and jnp.ndim(getattr(template, n)) == 0}
+        if missing - defaultable:
+            raise ValueError(
+                f"checkpoint {path} missing fields: {sorted(missing)}")
+        import warnings
+        warnings.warn(
+            f"checkpoint {path} predates fields {sorted(defaultable)}; "
+            "defaulting them from the current configuration")
+        for n in defaultable:
+            fields[n] = np.asarray(getattr(template, n))
     arrays = {}
     for name in names:
         a = jnp.asarray(fields[name])

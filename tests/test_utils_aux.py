@@ -62,6 +62,45 @@ def test_checkpoint_shape_mismatch_rejected(tmp_path):
         assert "shape" in str(e)
 
 
+def test_checkpoint_missing_scalar_field_defaults(tmp_path):
+    """A checkpoint written before SDState grew a scalar field (e.g.
+    master_rho) must still load: the scalar defaults from the template
+    instead of hard-erroring (ADVICE r2). Missing ARRAY fields still
+    reject — there is no safe default for pool contents."""
+    import warnings
+
+    path = str(tmp_path / "ckpt.npz")
+    a = _solver()
+    a.run(3)
+    save_state(path, a.state, instance="lands")
+
+    # Strip a scalar field from the archive, as an old-version file would.
+    with np.load(path) as z:
+        payload = {k: z[k] for k in z.files}
+    assert payload["master_rho"].ndim == 0
+    del payload["master_rho"]
+    np.savez(path, **payload)
+
+    b = _solver()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        b.state = load_state(path, template=b.state)
+    assert any("master_rho" in str(x.message) for x in w)
+    assert float(b.state.master_rho) == float(b.state.master_rho)  # finite
+    np.testing.assert_array_equal(
+        np.asarray(b.state.x_candidate), np.asarray(a.state.x_candidate))
+
+    # An array field must still hard-error.
+    del payload["x_candidate"]
+    payload["master_rho"] = np.asarray(0.1)
+    np.savez(path, **payload)
+    try:
+        load_state(path, template=_solver().state)
+        raise AssertionError("expected missing-array rejection")
+    except ValueError as e:
+        assert "x_candidate" in str(e)
+
+
 def test_metrics_jsonl_sink(tmp_path):
     path = str(tmp_path / "m.jsonl")
     with MetricsLogger(path) as log:
