@@ -205,9 +205,11 @@ def _bench_sd_gap(inst, config, n_iters: int) -> dict:
     from sqlp_tpu.sd.driver import SDSolver
 
     # warm-up solver triggers all XLA compiles (persistent compile cache
-    # makes the timed run's compiles ~free); discarded afterwards
+    # makes the timed run's compiles ~free); discarded afterwards. Must
+    # cover a FULL driver chunk (256) so the timed run reuses the compiled
+    # full-chunk executable instead of building it on the clock.
     warm = SDSolver(inst, config, seed=1)
-    warm.run(64)
+    warm.run(min(n_iters, 256))
     del warm
 
     solver = SDSolver(inst, config, seed=0)

@@ -29,6 +29,7 @@ def _build_config(args):
         max_cuts=args.max_cuts,
         dual_sig_bits=args.dual_sig_bits,
         scenarios_per_iter=args.batch,
+        sampling=args.sampling,
         pdhg=PDHGConfig(tol=args.sub_tol, max_iters=args.sub_iters),
         qp=QPConfig(tol=args.master_tol, max_iters=args.master_iters),
     )
@@ -128,7 +129,8 @@ def cmd_solve(args) -> int:
                 # sampling half-width, so a lucky draw cannot stop SD early
                 ub, ub_hw, _ = solver.evaluate_ci(
                     min_samples=args.eval_samples,
-                    max_samples=args.eval_samples, seed=args.seed + it)
+                    max_samples=args.eval_samples, seed=args.seed + it,
+                    sampling=args.sampling)
                 logger.log({"it": it, "mc_upper_bound": ub,
                             "mc_half_width": ub_hw})
                 print(f"iter {it}: mc_ub={ub:.4f} (+-{ub_hw:.4f})",
@@ -154,7 +156,8 @@ def cmd_solve(args) -> int:
     # estimate without its sampling error invites false gap readings
     ub, ub_hw, ub_n = solver.evaluate_ci(min_samples=args.eval_samples,
                                          max_samples=args.eval_samples,
-                                         seed=args.seed + 1)
+                                         seed=args.seed + 1,
+                                         sampling=args.sampling)
     logger.log({"it": int(solver.state.it), "mc_upper_bound": ub,
                 "mc_half_width": ub_hw, "mc_samples": ub_n, "final": True})
     logger.close()
@@ -234,7 +237,8 @@ def cmd_evaluate(args) -> int:
     solver = SDSolver(inst, config, seed=args.seed)
     x = np.asarray([float(v) for v in args.x.split(",")]) \
         if args.x else np.zeros(inst.n1)
-    ub = solver.evaluate(x=x, n_samples=args.samples, seed=args.seed)
+    ub = solver.evaluate(x=x, n_samples=args.samples, seed=args.seed,
+                         sampling=args.sampling)
     print(f"E[cost at x] ~= {ub:.6f} ({args.samples} samples)")
     return 0
 
@@ -280,6 +284,12 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--max-cuts", type=int, default=96)
         sp.add_argument("--batch", type=int, default=1,
                         help="scenarios per iteration per epigraph")
+        sp.add_argument("--sampling", default="iid",
+                        choices=["iid", "antithetic", "stratified"],
+                        help="scenario sampling scheme for the SD stream "
+                             "and MC evaluation (antithetic/stratified "
+                             "need --batch > 1 for the SD stream; the "
+                             "reference lists these as TODO 7)")
         sp.add_argument("--epi-lb", type=float, default=None,
                         help="per-epigraph lower bound on the recourse "
                              "(objective units). Default: computed as a "

@@ -165,6 +165,14 @@ class SDConfig:
     max_cuts: int = 96           # per epigraph, excluding the incumbent cut
     scenarios_per_iter: int = 1  # B; reference adds exactly 1 per epigraph
 
+    # --- scenario sampling scheme for the SD stream ---
+    # "iid" (the reference's rand(sto)), "antithetic" (u/1-u pairs; needs
+    # even B, else falls back to iid), or "stratified" (Latin-hypercube
+    # marginals across the B-batch). The variance-reduction methods the
+    # reference lists as TODO 7 (readme.md:27), applied per iteration
+    # batch; the MC evaluator takes its own method argument.
+    sampling: str = "iid"
+
     # --- incumbent cut refresh (sd_iteration! kwarg, algorithm.jl:40) ---
     update_incumbent_cut: bool = True
 

@@ -135,18 +135,63 @@ def build_scenario_model(sto: StoData, sp2: StageLP,
     )
 
 
-def sample_values(key: jax.Array, model: ScenarioModel, batch: int) -> jax.Array:
+def _uniform_panel(key: jax.Array, batch: int, R: int, dt,
+                   method: str) -> jax.Array:
+    """[batch, R] uniforms under the chosen variance-reduction scheme.
+
+    The reference leaves sampling methods as a TODO ("Implement SMPS
+    sampling methods (antithetic, stratified)", readme.md:27); here they
+    are one transform on the uniform panel every marginal consumes:
+
+      * "iid"        — plain i.i.d. draws;
+      * "antithetic" — pairs (u, 1-u): rows [0, B/2) are i.i.d., rows
+        [B/2, B) their reflections. Falls back to iid for odd batches.
+      * "stratified" — per position, one draw from each of `batch` equal
+        strata of [0, 1), independently shuffled across positions (Latin
+        hypercube): marginal stratification without coupling positions.
+    """
+    if method == "antithetic" and batch % 2 == 0 and batch > 1:
+        half = batch // 2
+        u0 = jax.random.uniform(key, (half, R), dtype=dt)
+        return jnp.concatenate([u0, 1.0 - u0], axis=0)
+    if method == "stratified" and batch > 1:
+        k_v, k_p = jax.random.split(key)
+        v = jax.random.uniform(k_v, (batch, R), dtype=dt)
+        # independent stratum permutation per position (vmapped over R)
+        perm = jax.vmap(lambda k: jax.random.permutation(k, batch))(
+            jax.random.split(k_p, R)).T                    # [batch, R]
+        return (perm.astype(dt) + v) / batch
+    assert method in ("iid", "antithetic", "stratified"), method
+    return jax.random.uniform(key, (batch, R), dtype=dt)
+
+
+def sample_values(key: jax.Array, model: ScenarioModel, batch: int,
+                  method: str = "iid") -> jax.Array:
     """Draw a [batch, R] panel of raw scenario values.
 
     Discrete positions use inverse-CDF lookup on the padded table; normal
-    and uniform are affine transforms of standard draws. All positions are
-    sampled with a single pair of [batch, R] uniform/normal draws.
+    and uniform are affine transforms of the uniform panel. ``method``
+    selects the uniform-panel scheme (see ``_uniform_panel``); under
+    "iid" the normal positions keep their own direct normal draws (the
+    original RNG stream — pinned trajectories depend on it), while the
+    variance-reduction methods push the structured uniforms through the
+    normal inverse CDF so the scheme carries through every marginal type.
     """
     k_u, k_z = jax.random.split(key)
     R = model.n_rv
     dt = model.values.dtype
-    u = jax.random.uniform(k_u, (batch, R), dtype=dt)
-    z = jax.random.normal(k_z, (batch, R), dtype=dt)
+
+    if method == "iid" or batch <= 1:
+        u = jax.random.uniform(k_u, (batch, R), dtype=dt)
+        z = jax.random.normal(k_z, (batch, R), dtype=dt)
+    else:
+        from jax.scipy.special import ndtri
+        u = _uniform_panel(k_u, batch, R, dt, method)
+        u_z = _uniform_panel(k_z, batch, R, dt, method)
+        # clamp away exact 0/1 (ndtri(0/1) = -+inf); stratified/antithetic
+        # panels can land arbitrarily close to the endpoints
+        tiny = jnp.asarray(1e-7, dt)
+        z = ndtri(jnp.clip(u_z, tiny, 1.0 - tiny)).astype(dt)
 
     # inverse CDF: index = #{j : cdf[j] <= u}; u < cdf[0] -> 0
     idx = jnp.sum(u[:, :, None] >= model.cdf[None, :, :], axis=-1)
@@ -163,13 +208,72 @@ def sample_values(key: jax.Array, model: ScenarioModel, batch: int) -> jax.Array
     return vals
 
 
-def sample_deltas(key: jax.Array, model: ScenarioModel, batch: int) -> jax.Array:
+def sample_deltas(key: jax.Array, model: ScenarioModel, batch: int,
+                  method: str = "iid") -> jax.Array:
     """Draw a [batch, R] panel of deltas vs the template (value - base).
 
     This is the device analog of ``delta_coefficients``
     (src/sd_algorithm/subprob.jl:104-121) fused with sampling.
     """
-    return sample_values(key, model, batch) - model.base
+    return sample_values(key, model, batch, method=method) - model.base
+
+
+def values_to_deltas(model: ScenarioModel, values: jax.Array) -> jax.Array:
+    """Convert raw scenario values [..., R] (position order = order of
+    first appearance in the sto file, like the reference's
+    ``spSmpsScenario``) into the delta panels the solver consumes."""
+    return jnp.asarray(values, model.base.dtype) - model.base
+
+
+def scenario_log_pdf(model: ScenarioModel, values: jax.Array) -> jax.Array:
+    """log p(values) under the model, summed over independent positions.
+
+    values: [..., R] raw scenario values -> [...] log densities (discrete
+    positions contribute log pmf; a value off a discrete support returns
+    -inf). The importance-sampling weight for scenarios drawn from a
+    proposal model q is exp(log_pdf_target - log_pdf_q)
+    (``sample_importance``) — the reference names this workflow in its
+    TODO list (readme.md:24-26: override scenario weight / importance
+    sampling) but never implements it.
+    """
+    dt = model.values.dtype
+    v = jnp.asarray(values, dt)[..., None]                  # [..., R, 1]
+    # discrete pmf: probability mass of the nearest table entry (within a
+    # relative tolerance), -inf otherwise
+    pmf = jnp.diff(model.cdf, axis=-1, prepend=0.0)         # [R, V]
+    close = jnp.abs(model.values - v) <= 1e-6 * (1.0 + jnp.abs(model.values))
+    p_disc = jnp.max(jnp.where(close, pmf, 0.0), axis=-1)   # [..., R]
+    log_disc = jnp.log(jnp.maximum(p_disc, 1e-300))
+    vr = v[..., 0]
+    z = (vr - model.mean) / jnp.maximum(model.std, 1e-30)
+    log_norm = (-0.5 * z * z - 0.5 * jnp.log(2.0 * jnp.pi)
+                - jnp.log(jnp.maximum(model.std, 1e-30)))
+    in_box = jnp.logical_and(vr >= model.left,
+                             vr <= model.left + model.width)
+    log_unif = jnp.where(in_box,
+                         -jnp.log(jnp.maximum(model.width, 1e-30)),
+                         -jnp.inf)
+    lp = jnp.where(model.dist_type == DIST_DISCRETE, log_disc,
+                   jnp.where(model.dist_type == DIST_NORMAL, log_norm,
+                             log_unif))
+    return jnp.sum(lp, axis=-1)
+
+
+def sample_importance(key: jax.Array, target: ScenarioModel,
+                      proposal: ScenarioModel, batch: int,
+                      method: str = "iid"):
+    """Importance sampling: draw from ``proposal``, weight for ``target``.
+
+    Returns (deltas [batch, R] vs the TARGET template, weights [batch])
+    with w = p_target(v) / p_proposal(v) — ready for
+    ``sd_step(..., deltas=..., weights=...)`` /
+    ``SDSolver.step_scenarios``. Realizes the reference's importance-
+    sampling TODOs (readme.md:24-30 items 5 and 8: override scenario
+    weight in add_scenario!, override total_weight) on device.
+    """
+    vals = sample_values(key, proposal, batch, method=method)
+    logw = scenario_log_pdf(target, vals) - scenario_log_pdf(proposal, vals)
+    return vals - target.base, jnp.exp(logw)
 
 
 def deltas_to_rhs(model: ScenarioModel, deltas: jax.Array, m2: int) -> jax.Array:

@@ -57,8 +57,8 @@ def state_pspecs(axis_name: str = SCENARIO_AXIS,
     r = P()                         # replicated
     return dict(
         key=r, it=r,
-        scen_deltas=s3, scen_weights=s, n_scen=r, total_weight=r,
-        scen_dropped=r,
+        scen_deltas=s3, scen_weights=s, n_scen=r, n_stream=r,
+        total_weight=r, scen_dropped=r,
         duals=d, duals_rounded=d, n_duals=r, duals_dropped=r,
         duals_score=d1,
         cut_alpha=r, cut_beta=r, cut_mark=r, cut_live=r, cut_dual=r,

@@ -95,9 +95,21 @@ def _quad_scalar_schedule(state: SDState, config: SDConfig):
 
 @partial(jax.jit, static_argnames=("config",))
 def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
-            prep_sub: PreparedLP, state: SDState, config: SDConfig
-            ) -> Tuple[SDState, dict]:
-    """One SD iteration. Pure: (state, key) -> (state', stats)."""
+            prep_sub: PreparedLP, state: SDState, config: SDConfig,
+            deltas: jax.Array | None = None,
+            weights: jax.Array | None = None) -> Tuple[SDState, dict]:
+    """One SD iteration. Pure: (state, key) -> (state', stats).
+
+    ``deltas`` ([E, B, R], optional) supplies the iteration's scenarios
+    externally instead of sampling from the scenario model — the
+    reference's driver-supplied ``scenario_list`` surface
+    (``sd_iteration!(cell, scenario_list)``, algorithm.jl:39-45).
+    ``weights`` ([E, B], optional, default 1) is the per-scenario weight of
+    ``add_scenario!(epi, scenario, weight)`` (epigraph.jl:81-96) — the
+    importance-sampling hook the reference documents in its TODO list
+    (readme.md items 5/8). All downstream cut math (probability
+    normalization, weight_mark discounting) already carries weights.
+    """
     E = espec.n_epi
     B = config.scenarios_per_iter
     S = config.max_scenarios
@@ -110,37 +122,56 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
     key, k_sample = jax.random.split(state.key)
 
     # ---- 1. sample + append scenarios (add_scenario!, epigraph.jl:81-96)
-    new_deltas = sample_deltas(k_sample, model, E * B).reshape(E, B, model.n_rv)
+    if deltas is None:
+        new_deltas = sample_deltas(k_sample, model, E * B,
+                                   method=config.sampling
+                                   ).reshape(E, B, model.n_rv)
+    else:
+        assert deltas.shape[:2] == (E, B), (
+            f"user scenarios must be [n_epi={E}, B={B}, R], got "
+            f"{deltas.shape} (B is config.scenarios_per_iter)")
+        new_deltas = deltas.astype(dt)
+    if weights is None:
+        new_w = jnp.ones((E, B), dt)
+    else:
+        assert weights.shape == (E, B), (weights.shape, (E, B))
+        new_w = weights.astype(dt)
 
     # Pre-saturation: append in stream order (matches the reference, whose
     # store is unbounded). At capacity: reservoir sampling (Vitter's R) —
-    # scenario t replaces a uniform slot with prob S/t — so the stored
-    # panel stays a uniform i.i.d. subsample of the full stream, which is
-    # what build_sasa_cut's sample-average rationale assumes (ADVICE r1:
-    # overwriting a fixed trailing slot froze the estimator past capacity).
+    # scenario number t replaces a uniform slot with prob S/t — so the
+    # stored panel stays a uniform i.i.d. subsample of the full stream,
+    # which is what build_sasa_cut's sample-average rationale assumes
+    # (ADVICE r1: overwriting a fixed trailing slot froze the estimator
+    # past capacity). Weighted streams keep UNIFORM inclusion and store
+    # the weight alongside: the panel is then a uniform subsample of the
+    # weighted stream and the stored-weight-normalized sample average in
+    # build_sasa_cut stays a consistent (ratio) estimator — inclusion
+    # proportional to weight would double-count the weights.
     res_keys = jax.random.split(jax.random.fold_in(k_sample, 0x5eed), E)
 
-    def append_one(rkey, store, weights, n, total_w, new):
+    def append_one(rkey, store, weights_, n, n_str, new, w_new):
         for i in range(B):
             ku, kj = jax.random.split(jax.random.fold_in(rkey, i))
-            t = total_w + (i + 1)                       # stream position
+            t = (n_str + (i + 1)).astype(dt)            # stream position
             j = jax.random.randint(kj, (), 0, S)
             pre = n + i < S
-            take = jax.random.uniform(ku, dtype=t.dtype) * t < S
+            take = jax.random.uniform(ku, dtype=dt) * t < S
             idx = jnp.where(pre, jnp.minimum(n + i, S - 1), j)
             write = jnp.logical_or(pre, take)
             store = store.at[idx].set(
                 jnp.where(write, new[i], store[idx]))
-            weights = weights.at[idx].set(
-                jnp.where(write, jnp.ones((), dt), weights[idx]))
-        return store, weights, jnp.minimum(n + B, S)
+            weights_ = weights_.at[idx].set(
+                jnp.where(write, w_new[i], weights_[idx]))
+        return store, weights_, jnp.minimum(n + B, S)
 
     scen_deltas, scen_weights, n_scen = jax.vmap(append_one)(
         res_keys, state.scen_deltas, state.scen_weights, state.n_scen,
-        state.total_weight, new_deltas)
+        state.n_stream, new_deltas, new_w)
     overflow = jnp.sum(jnp.maximum(state.n_scen + B - S, 0)).astype(
         state.scen_dropped.dtype)
-    total_weight = state.total_weight + B  # unit weights (algorithm.jl:46)
+    total_weight = state.total_weight + jnp.sum(new_w, axis=1)
+    n_stream = state.n_stream + B
 
     # ---- 2+3. batched subproblem solves at candidate AND incumbent
     flat_deltas = new_deltas.reshape(E * B, model.n_rv)
@@ -208,7 +239,8 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
     # the f_{k-1} snapshot (algorithm.jl:74-76).
     state_last = _dc.replace(
         state, scen_deltas=scen_deltas, scen_weights=scen_weights,
-        n_scen=n_scen, total_weight=total_weight, cut_live=cut_live,
+        n_scen=n_scen, n_stream=n_stream, total_weight=total_weight,
+        cut_live=cut_live,
         duals=duals, duals_rounded=duals_rounded, n_duals=n_duals)
     last_cand_eval = evaluate_multi_epigraph(state_last, espec,
                                              state.x_candidate)
@@ -385,17 +417,46 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
     return new_state, stats
 
 
+def scalar_stat_keys(arrays: InstanceArrays, model: ScenarioModel,
+                     espec: EpigraphSpec, prep_sub: PreparedLP,
+                     state: SDState, config: SDConfig,
+                     ndim: int = 0) -> Tuple[str, ...]:
+    """Sorted names of sd_step's scalar stats (``ndim``-dimensional
+    entries; 1 for replicated states, where every scalar carries a leading
+    [R] axis). Column order of the packed accumulator below."""
+    return tuple(k for k, _ in scalar_stat_schema(
+        arrays, model, espec, prep_sub, state, config, ndim))
+
+
+def scalar_stat_schema(arrays, model, espec, prep_sub, state, config,
+                       ndim: int = 0):
+    """((name, dtype), ...) of sd_step's scalar stats in packed-column
+    order — dtypes let the driver restore int/bool semantics after the
+    float32 packed readback."""
+    f = lambda st: sd_step(arrays, model, espec, prep_sub, st, config)[1]
+    if ndim == 1:                     # replication-batched state pytree
+        f = jax.vmap(f)
+    shapes = jax.eval_shape(f, state)
+    return tuple((k, shapes[k].dtype)
+                 for k in sorted(shapes) if shapes[k].ndim == ndim)
+
+
 @partial(jax.jit, static_argnames=("config", "n_steps"))
 def sd_run(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
            prep_sub: PreparedLP, state: SDState, config: SDConfig,
            n_steps: int, n: jax.Array | None = None
-           ) -> Tuple[SDState, dict]:
+           ) -> Tuple[SDState, jax.Array]:
     """Run up to n_steps SD iterations fully on device.
 
     The per-step host round trip dominates wall clock on a remote/tunneled
     TPU (measured ~100x slower than the compute itself); chunking the loop
-    into one jit amortizes dispatch to one sync per chunk. Returns the final
-    state plus per-iteration scalar stats stacked along axis 0.
+    into one jit amortizes dispatch to one sync per chunk. Returns the
+    final state plus ONE packed [n_steps, n_keys] float32 panel of the
+    per-iteration scalar stats (column j = ``scalar_stat_keys(...)[j]``):
+    returning a dict of ~30 scalar streams made the driver issue ~30
+    separate device->host transfers per chunk, and on the tunneled TPU
+    that readback cost more than the chunk's compute (measured 8.0 vs
+    3.3 ms/iter on warm ssn). One packed buffer is one transfer.
 
     ``n_steps`` (static) sizes the stats buffers; ``n`` (dynamic, defaults
     to n_steps) is the actual trip count, so a final partial chunk reuses
@@ -403,17 +464,14 @@ def sd_run(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
     recompile used to cost more than the chunk's compute. Entries past
     ``n`` in the returned stats are zero.
     """
-    shapes = jax.eval_shape(
-        lambda st: sd_step(arrays, model, espec, prep_sub, st, config)[1],
-        state)
-    acc = {k: jnp.zeros((n_steps,), v.dtype)
-           for k, v in shapes.items() if v.ndim == 0}
+    keys = scalar_stat_keys(arrays, model, espec, prep_sub, state, config)
+    acc = jnp.zeros((n_steps, len(keys)), jnp.float32)
 
     def body(i, carry):
         state, acc = carry
         state, stats = sd_step(arrays, model, espec, prep_sub, state, config)
-        acc = {k: acc[k].at[i].set(stats[k]) for k in acc}
-        return state, acc
+        row = jnp.stack([stats[k].astype(jnp.float32) for k in keys])
+        return state, acc.at[i].set(row)
 
     state, acc = jax.lax.fori_loop(
         0, n_steps if n is None else jnp.minimum(n, n_steps),
@@ -441,20 +499,23 @@ def sd_run_replicated(arrays: InstanceArrays, model: ScenarioModel,
     until the slowest one's stopping test, and the best-iterate latches
     inside the PDHG/QP solvers can only improve with the extra rounds.
 
-    Returns (states, acc) with per-iteration, per-replication scalar stats
-    stacked as [n_steps, R]; entries past ``n`` are zero.
+    Returns (states, acc) with the per-iteration, per-replication scalar
+    stats packed as ONE [n_steps, n_keys, R] float32 panel (one transfer
+    per chunk, see sd_run; column j = ``scalar_stat_keys(..., ndim=1)[j]``);
+    entries past ``n`` are zero.
     """
     step = jax.vmap(
         lambda st: sd_step(arrays, model, espec, prep_sub, st, config))
-    shapes = jax.eval_shape(lambda sts: step(sts)[1], states)
-    acc = {k: jnp.zeros((n_steps,) + v.shape, v.dtype)
-           for k, v in shapes.items() if v.ndim == 1}
+    keys = scalar_stat_keys(arrays, model, espec, prep_sub, states, config,
+                            ndim=1)
+    R = states.cut_alpha.shape[0]
+    acc = jnp.zeros((n_steps, len(keys), R), jnp.float32)
 
     def body(i, carry):
         states, acc = carry
         states, stats = step(states)
-        acc = {k: acc[k].at[i].set(stats[k]) for k in acc}
-        return states, acc
+        row = jnp.stack([stats[k].astype(jnp.float32) for k in keys])
+        return states, acc.at[i].set(row)
 
     states, acc = jax.lax.fori_loop(
         0, n_steps if n is None else jnp.minimum(n, n_steps),

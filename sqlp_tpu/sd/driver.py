@@ -158,29 +158,81 @@ class SDSolver:
             self.prep_sub, self.state, self.config)
         return self._unscale(stats)
 
+    def step_scenarios(self, values=None, deltas=None, weights=None) -> Dict:
+        """One SD iteration on USER-SUPPLIED scenarios — the reference's
+        ``sd_iteration!(cell, scenario_list)`` surface (algorithm.jl:39-45)
+        with ``add_scenario!``'s per-scenario weight argument
+        (epigraph.jl:81-96).
+
+        ``values``: [n_epi, B, R] raw scenario values in sto-position
+        order (the reference's ``spSmpsScenario`` layout), converted
+        against the scenario model's template; or pass ``deltas``
+        ([n_epi, B, R], value - template) directly. ``weights``
+        ([n_epi, B], default 1) supports importance sampling — pair with
+        ``models.scenario.sample_importance`` to draw from a proposal
+        model and weight for the target. B must equal
+        ``config.scenarios_per_iter``.
+        """
+        from sqlp_tpu.models.scenario import values_to_deltas
+
+        assert (values is None) != (deltas is None), \
+            "pass exactly one of values= or deltas="
+        if deltas is None:
+            deltas = values_to_deltas(self.inst.scenario_model, values)
+        deltas = jnp.asarray(deltas, self.config.jdtype)
+        if weights is not None:
+            weights = jnp.asarray(weights, self.config.jdtype)
+        self.state, stats = sd_step(
+            self.arrays, self.scenario_model, self.espec,
+            self.prep_sub, self.state, self.config,
+            deltas=deltas, weights=weights)
+        return self._unscale(stats)
+
+    def _stat_schema(self, ndim: int = 0):
+        """Packed-stats column schema, cached per config (the abstract
+        trace of sd_step behind it is not free)."""
+        from sqlp_tpu.sd.algorithm import scalar_stat_schema
+        cache_key = (self.config, ndim)
+        cached = getattr(self, "_stat_schema_cache", None)
+        if cached is not None and cached[0] == cache_key:
+            return cached[1]
+        schema = scalar_stat_schema(self.arrays, self.scenario_model,
+                                    self.espec, self.prep_sub, self.state,
+                                    self.config, ndim=ndim)
+        self._stat_schema_cache = (cache_key, schema)
+        return schema
+
     def run(self, n_iters: int, log_every: int = 0,
             callback: Optional[Callable[[int, Dict], None]] = None,
-            chunk: int = 64) -> Dict:
+            chunk: int = 256) -> Dict:
         """Run n_iters iterations; returns the last iteration's stats.
 
         Iterations execute in on-device chunks (sd_run) with ONE host sync
         per chunk — per-step host round trips dominate wall clock on a
-        tunneled TPU. Per-iteration scalar stats for the whole run land in
-        ``self.history`` at ``log_every`` granularity.
+        tunneled TPU (the packed-stats readback is a single [chunk, n_keys]
+        buffer, so a bigger chunk costs only that buffer; 256 amortizes the
+        per-chunk dispatch+transfer to noise on flagship runs). Pass a
+        smaller ``chunk`` when host-side work (stopping rules, eval,
+        checkpoints) needs finer boundaries. Per-iteration scalar stats for
+        the whole run land in ``self.history`` at ``log_every`` granularity.
         """
         from sqlp_tpu.sd.algorithm import sd_run
 
+        schema = self._stat_schema()
         last: Dict = {}
         done = 0
         while done < n_iters:
             n = min(chunk, n_iters - done)
             # always compile the full-chunk executable; a partial final
             # chunk passes its length dynamically instead of recompiling
-            self.state, acc = sd_run(
+            self.state, packed = sd_run(
                 self.arrays, self.scenario_model, self.espec,
                 self.prep_sub, self.state, self.config, min(chunk, n_iters),
                 jnp.asarray(n, jnp.int32))
-            acc = self._unscale({k: np.asarray(v)[:n] for k, v in acc.items()})
+            packed = np.asarray(packed)         # ONE device->host transfer
+            acc = self._unscale(
+                {k: packed[:n, j].astype(dt)
+                 for j, (k, dt) in enumerate(schema)})
             done += n
             # Failure path (reference: master failure dumps
             # error_model.mof.json and rethrows, algorithm.jl:104-110):
@@ -298,10 +350,12 @@ class SDSolver:
         return vals
 
     def evaluate(self, x=None, n_samples: int = 10_000, seed: int = 123,
-                 batch: int = 4096) -> float:
+                 batch: int = 4096, sampling: str = "iid") -> float:
         """Monte-Carlo upper-bound estimate at x (smps_routines.jl:67-82),
         batched on device instead of N serial solver round-trips.
-        Uncertified batch elements are re-solved exactly on host."""
+        Uncertified batch elements are re-solved exactly on host.
+        ``sampling`` in {"iid", "antithetic", "stratified"} selects the
+        variance-reduction scheme per device batch (reference TODO 7)."""
         inst = self.inst
         x = jnp.asarray(self.x_incumbent if x is None else x,
                         self.config.jdtype)
@@ -311,7 +365,8 @@ class SDSolver:
         while done < n_samples:
             b = min(batch, n_samples - done)
             key, k = jax.random.split(key)
-            deltas = sample_deltas(k, inst.scenario_model, b)
+            deltas = sample_deltas(k, inst.scenario_model, b,
+                                   method=sampling)
             H = _scenario_rhs(self.arrays_local, inst.scenario_model,
                               deltas, x)
             total += float(self._recourse_objs(H).sum())
@@ -322,7 +377,8 @@ class SDSolver:
     def evaluate_ci(self, x=None, confidence: float = 0.95,
                     target_half_width: float = 0.0,
                     min_samples: int = 2048, max_samples: int = 262_144,
-                    seed: int = 123, batch: int = 4096):
+                    seed: int = 123, batch: int = 4096,
+                    sampling: str = "iid"):
         """Monte-Carlo estimate with a confidence interval.
 
         Draws ``min_samples`` first. With ``target_half_width > 0``,
@@ -333,6 +389,14 @@ class SDSolver:
         confidence level"). With ``target_half_width == 0`` (default) it
         stops at ``min_samples``: a fixed-N estimate like :meth:`evaluate`
         but reporting its sampling error.
+
+        ``sampling`` in {"iid", "antithetic", "stratified"}: variance-
+        reduced draws per device batch (reference TODO 7). The reported
+        half-width keeps the i.i.d. variance estimator, which is
+        CONSERVATIVE under either scheme (antithetic pairs are negatively
+        correlated and strata cover the marginals, so the true estimator
+        variance is at most the i.i.d. one) — the mean tightens, the CI
+        never understates.
 
         Returns (mean, half_width, n_samples).
         """
@@ -353,7 +417,8 @@ class SDSolver:
             if b <= 0:
                 break
             key, k = jax.random.split(key)
-            deltas = sample_deltas(k, inst.scenario_model, b)
+            deltas = sample_deltas(k, inst.scenario_model, b,
+                                   method=sampling)
             H = _scenario_rhs(self.arrays_local, inst.scenario_model,
                               deltas, x)
             vals = self._recourse_objs(H)
@@ -435,15 +500,19 @@ class SDReplications(SDSolver):
         iteration's stats ([R]-shaped entries)."""
         from sqlp_tpu.sd.algorithm import sd_run_replicated
 
+        schema = self._stat_schema(ndim=1)
         last: Dict = {}
         done = 0
         while done < n_iters:
             n = min(chunk, n_iters - done)
-            self.state, acc = sd_run_replicated(
+            self.state, packed = sd_run_replicated(
                 self.arrays, self.scenario_model, self.espec,
                 self.prep_sub, self.state, self.config, min(chunk, n_iters),
                 jnp.asarray(n, jnp.int32))
-            acc = self._unscale({k: np.asarray(v)[:n] for k, v in acc.items()})
+            packed = np.asarray(packed)         # ONE device->host transfer
+            acc = self._unscale(
+                {k: packed[:n, j].astype(dt)
+                 for j, (k, dt) in enumerate(schema)})
             done += n
             if not np.all(np.isfinite(acc["cand_est"])):
                 from sqlp_tpu.utils.checkpoint import save_state
@@ -466,10 +535,13 @@ class SDReplications(SDSolver):
     def step(self) -> Dict:
         """One SD iteration on every replication ([R]-shaped stats)."""
         from sqlp_tpu.sd.algorithm import sd_run_replicated
-        self.state, acc = sd_run_replicated(
+        schema = self._stat_schema(ndim=1)
+        self.state, packed = sd_run_replicated(
             self.arrays, self.scenario_model, self.espec,
             self.prep_sub, self.state, self.config, 1)
-        return self._unscale({k: np.asarray(v)[0] for k, v in acc.items()})
+        packed = np.asarray(packed)
+        return self._unscale({k: packed[0, j].astype(dt)
+                              for j, (k, dt) in enumerate(schema)})
 
     @property
     def states(self) -> List[SDState]:

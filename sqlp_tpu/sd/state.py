@@ -53,8 +53,11 @@ class SDState:
     # scenario stores (per epigraph; add_scenario!, epigraph.jl:81-96)
     scen_deltas: jax.Array    # [E, S, R] raw value - template value
     scen_weights: jax.Array   # [E, S] (0 beyond n_scen)
-    n_scen: jax.Array         # [E] int32
-    total_weight: jax.Array   # [E]
+    n_scen: jax.Array         # [E] int32 stored (live) count, <= S
+    n_stream: jax.Array       # [E] int32 total scenarios ever added (the
+    #                           reservoir's stream position; == total_weight
+    #                           for unit-weight streams)
+    total_weight: jax.Array   # [E] sum of all weights ever added
     scen_dropped: jax.Array   # int32, overflow counter
 
     # shared dual-vertex pool (sdDualVertexSet, dual_set.jl:69-104)
@@ -135,6 +138,7 @@ def init_state(inst: Instance, espec: EpigraphSpec, config: SDConfig,
         scen_deltas=f((E, S, R)),
         scen_weights=f((E, S)),
         n_scen=jnp.zeros((E,), jnp.int32),
+        n_stream=jnp.zeros((E,), jnp.int32),
         total_weight=f((E,)),
         scen_dropped=jnp.zeros((), jnp.int32),
         duals=f((D, m2)),

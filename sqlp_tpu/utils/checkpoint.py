@@ -48,6 +48,11 @@ def load_state(path: str, template: Optional[SDState] = None) -> SDState:
     with np.load(path) as z:
         fields = {k: z[k] for k in z.files if not k.startswith(_META_PREFIX)}
     names = {f.name for f in dataclasses.fields(SDState)}
+    # n_stream (the reservoir's stream scenario count) predates weighted
+    # streams; every earlier run used unit weights, where the stream count
+    # IS the total weight — restore it exactly (not from the template).
+    if "n_stream" not in fields and "total_weight" in fields:
+        fields["n_stream"] = np.asarray(fields["total_weight"], np.int32)
     missing = names - fields.keys()
     if missing:
         # Forward compatibility with checkpoints written before SDState
