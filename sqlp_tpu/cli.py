@@ -80,9 +80,11 @@ def cmd_solve(args) -> int:
             return 2
         return _solve_replicated(args, config, inst, espec, x0)
 
+    mesh_shape = (args.mesh_duals, args.mesh) \
+        if args.mesh_duals and args.mesh else None
     solver = SDSolver(inst, config, espec=espec, x0=x0, seed=args.seed,
                       n_epi=E, mesh_devices=args.mesh,
-                      shard_duals=args.shard_duals)
+                      shard_duals=args.shard_duals, mesh_shape=mesh_shape)
     print(f"recourse lower bound: {solver.recourse_lb:.6g}"
           + (" (auto)" if args.epi_lb is None
              else f" (user: {args.epi_lb:g})"), flush=True)
@@ -273,6 +275,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "process and Gloo cross-process collectives")
         sp.add_argument("--shard-duals", action="store_true",
                         help="with --mesh, also shard the dual-vertex pool")
+        sp.add_argument("--mesh-duals", type=int, default=0,
+                        help="with --mesh N, build a 2-D (duals x "
+                             "scenarios) mesh of shape (this, N): the "
+                             "dual pool and scenario stores each shard "
+                             "over their own mesh axis (needs this*N "
+                             "devices)")
         sp.add_argument("--dtype", default="float32",
                         choices=["float32", "float64"])
         sp.add_argument("--schedule", default="constant",

@@ -27,6 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 SCENARIO_AXIS = "scenarios"
+DUAL_AXIS = "duals"
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -38,22 +39,44 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def make_mesh_2d(n_duals: int, n_scenarios: int,
+                 dual_axis: str = DUAL_AXIS,
+                 scenario_axis: str = SCENARIO_AXIS) -> Mesh:
+    """2-D mesh (duals x scenarios): the two growth axes of the argmax
+    matmul [D,R]x[R,S] each get their own mesh dimension (SURVEY §5.7 —
+    the solver's analog of 2-D sequence sharding). The dual pool shards
+    over the first axis, scenario stores over the second; per-device
+    memory then scales as D/n_duals + S/n_scenarios, and the [D,S] score
+    panel is computed blockwise with no replicated big operand. The step
+    stays global-view; XLA inserts the cross-shard argmax/psum combines.
+    """
+    devs = jax.devices()[:n_duals * n_scenarios]
+    assert len(devs) == n_duals * n_scenarios, (
+        f"need {n_duals * n_scenarios} devices, have {len(jax.devices())}")
+    return Mesh(np.asarray(devs).reshape(n_duals, n_scenarios),
+                (dual_axis, scenario_axis))
+
+
 def state_pspecs(axis_name: str = SCENARIO_AXIS,
-                 shard_duals: bool = False):
+                 shard_duals: bool = False,
+                 dual_axis: Optional[str] = None):
     """PartitionSpec pytree for SDState (field-name keyed).
 
-    ``shard_duals`` additionally shards the dual-vertex pool over the same
-    mesh axis (the north-star's second scaling axis: the argmax matmul is
-    [D,R]x[R,S], and at large pool capacities the replicated [D, m2] pool
-    dominates per-device memory). The step function is written in global
-    view, so no op changes — XLA inserts the cross-shard max/psum for the
-    argmax reduction and the dedup compare. Leave off (replicated) for
-    small pools, where the collectives cost more than they save.
+    ``shard_duals`` additionally shards the dual-vertex pool (the
+    north-star's second scaling axis: the argmax matmul is [D,R]x[R,S],
+    and at large pool capacities the replicated [D, m2] pool dominates
+    per-device memory) — over ``dual_axis`` when given (2-D mesh from
+    ``make_mesh_2d``), else over the same 1-D axis as the scenarios.
+    The step function is written in global view, so no op changes — XLA
+    inserts the cross-shard max/psum for the argmax reduction and the
+    dedup compare. Leave off (replicated) for small pools, where the
+    collectives cost more than they save.
     """
+    da = dual_axis if dual_axis is not None else axis_name
     s = P(None, axis_name)          # [E, S]
     s3 = P(None, axis_name, None)   # [E, S, R]
-    d = P(axis_name, None) if shard_duals else P()   # [D, m2]
-    d1 = P(axis_name) if shard_duals else P()        # [D]
+    d = P(da, None) if shard_duals else P()   # [D, m2]
+    d1 = P(da) if shard_duals else P()        # [D]
     r = P()                         # replicated
     return dict(
         key=r, it=r,
@@ -72,9 +95,15 @@ def state_pspecs(axis_name: str = SCENARIO_AXIS,
 
 
 def state_shardings(mesh: Mesh, axis_name: str = SCENARIO_AXIS,
-                    shard_duals: bool = False):
-    """NamedSharding pytree matching SDState's dataclass fields."""
-    specs = state_pspecs(axis_name, shard_duals=shard_duals)
+                    shard_duals: bool = False,
+                    dual_axis: Optional[str] = None):
+    """NamedSharding pytree matching SDState's dataclass fields. A 2-D
+    mesh (make_mesh_2d) implies shard_duals over its dual axis."""
+    if dual_axis is None and len(mesh.axis_names) == 2:
+        dual_axis, axis_name = mesh.axis_names
+        shard_duals = True
+    specs = state_pspecs(axis_name, shard_duals=shard_duals,
+                         dual_axis=dual_axis)
     return {k: NamedSharding(mesh, v) for k, v in specs.items()}
 
 
@@ -97,7 +126,8 @@ def _put(a, sharding):
 
 def shard_state(state, mesh: Mesh, axis_name: str = SCENARIO_AXIS,
                 shard_duals: bool = False):
-    """Place an SDState's arrays according to the sharding plan."""
+    """Place an SDState's arrays according to the sharding plan (1-D or
+    2-D mesh; a 2-D mesh shards duals over its first axis)."""
     sh = state_shardings(mesh, axis_name, shard_duals=shard_duals)
     kw = {f.name: _put(getattr(state, f.name), sh[f.name])
           for f in dataclasses.fields(state)}
@@ -112,9 +142,13 @@ def replicate(tree, mesh: Mesh):
 
 def place_batch(a, mesh: Mesh, axis_name: str = SCENARIO_AXIS):
     """Shard a host [B, ...] panel along its batch axis over the mesh
-    (Monte-Carlo evaluation panels, large subproblem batches). B must be
-    divisible by the mesh size; multi-process safe."""
-    spec = P(axis_name, *([None] * (np.ndim(a) - 1)))
+    (Monte-Carlo evaluation panels, large subproblem batches). On a 2-D
+    mesh the batch axis shards over BOTH mesh axes (an evaluation panel
+    has no dual dimension, so every device takes a slice). B must be
+    divisible by the total mesh size; multi-process safe."""
+    axes = tuple(mesh.axis_names) if len(mesh.axis_names) > 1 \
+        else (axis_name,)
+    spec = P(axes, *([None] * (np.ndim(a) - 1)))
     return _put(a, NamedSharding(mesh, spec))
 
 

@@ -44,12 +44,16 @@ class SDSolver:
     def __init__(self, inst: Instance, config: SDConfig = SDConfig(),
                  espec: Optional[EpigraphSpec] = None,
                  x0=None, seed: int = 0, n_epi: int = 1,
-                 mesh_devices: int = 0, shard_duals: bool = False):
+                 mesh_devices: int = 0, shard_duals: bool = False,
+                 mesh_shape: Optional[tuple] = None):
         """mesh_devices > 1 builds a 1-D device mesh and shards the
         scenario stores (and, with shard_duals, the dual-vertex pool)
-        over it; 0/1 runs single-device. Multi-host setups must call
-        jax.distributed.initialize() (sqlp_tpu.parallel.distributed)
-        before constructing the solver."""
+        over it; 0/1 runs single-device. ``mesh_shape=(nd, ns)`` builds a
+        2-D (duals x scenarios) mesh instead: the dual pool shards over
+        nd devices and the scenario stores over ns (SURVEY §5.7's two
+        growth axes each on their own mesh dimension). Multi-host setups
+        must call jax.distributed.initialize()
+        (sqlp_tpu.parallel.distributed) before constructing the solver."""
         configure_jax()
         self.inst = inst
         # Valid per-scenario recourse lower bound (the reference takes this
@@ -126,12 +130,20 @@ class SDSolver:
             inst, self.espec, config, x0, jax.random.PRNGKey(seed))
         self.scenario_model = inst.scenario_model
         self.mesh = None
-        if mesh_devices and mesh_devices > 1:
-            from sqlp_tpu.parallel.mesh import (make_mesh, replicate,
-                                                shard_state)
-            assert config.max_scenarios % mesh_devices == 0, (
-                "max_scenarios must divide the mesh size")
-            mesh = make_mesh(mesh_devices)
+        if mesh_shape is not None or (mesh_devices and mesh_devices > 1):
+            from sqlp_tpu.parallel.mesh import (make_mesh, make_mesh_2d,
+                                                replicate, shard_state)
+            if mesh_shape is not None:
+                nd, ns = mesh_shape
+                assert config.max_scenarios % ns == 0, (
+                    "max_scenarios must divide the scenario mesh axis")
+                assert config.max_dual_vertices % nd == 0, (
+                    "max_dual_vertices must divide the dual mesh axis")
+                mesh = make_mesh_2d(nd, ns)
+            else:
+                assert config.max_scenarios % mesh_devices == 0, (
+                    "max_scenarios must divide the mesh size")
+                mesh = make_mesh(mesh_devices)
             self.mesh = mesh
             self.arrays = replicate(self.arrays, mesh)
             self.prep_sub = replicate(self.prep_sub, mesh)

@@ -164,3 +164,68 @@ def test_dual_pool_sharded_matches_single_device():
     assert abs(float(s1.cand_est) - float(s8.cand_est)) / scale < 5e-3
     assert abs(int(s1.n_duals) - int(s8.n_duals)) <= 2
     assert abs(int(jnp.sum(s1.cut_live)) - int(jnp.sum(s8.cut_live))) <= 1
+
+
+def test_mesh_2d_duals_by_scenarios():
+    """2-D (duals x scenarios) mesh: each growth axis of the argmax
+    matmul [D,R]x[R,S] on its own mesh dimension (SURVEY §5.7). The
+    global-view step must reproduce the single-device trajectory over a
+    short window and stay solution-consistent past it."""
+    require_instance("lands")
+    assert jax.device_count() >= 8
+    from sqlp_tpu.parallel.mesh import make_mesh_2d
+    inst = load_instance("lands", dtype=jnp.float64)
+    espec = default_epigraph_spec(1, 1.0, 0.0, dtype=jnp.float64)
+    x0 = np.array([3.0, 3.0, 3.0, 3.0])
+
+    from sqlp_tpu.ops.pdhg import prepare_lp
+    prep = prepare_lp(inst.arrays.W, inst.arrays.senses2, inst.arrays.q,
+                      inst.arrays.lb2, inst.arrays.ub2)
+
+    s1 = init_state(inst, espec, _CFG, x0, jax.random.PRNGKey(3))
+    s1_hist = {}
+    for it in range(12):
+        s1, _ = sd_step(inst.arrays, inst.scenario_model, espec, prep,
+                        s1, _CFG)
+        s1_hist[it] = np.asarray(s1.x_candidate)
+
+    mesh = make_mesh_2d(2, 4)
+    assert mesh.shape == {"duals": 2, "scenarios": 4}
+    arrays = replicate(inst.arrays, mesh)
+    model = replicate(inst.scenario_model, mesh)
+    espec_r = replicate(espec, mesh)
+    prep_r = replicate(prep, mesh)
+    s2d = shard_state(init_state(inst, espec, _CFG, x0,
+                                 jax.random.PRNGKey(3)), mesh)
+    # verify the placement really is 2-D: dual pool sharded over axis 0,
+    # scenario stores over the mesh's scenario axis
+    d_shard = s2d.duals.sharding.spec
+    s_shard = s2d.scen_deltas.sharding.spec
+    assert d_shard[0] == "duals", d_shard
+    assert s_shard[1] == "scenarios", s_shard
+
+    for it in range(12):
+        s2d, _ = sd_step(arrays, model, espec_r, prep_r, s2d, _CFG)
+        if it == 7:
+            np.testing.assert_allclose(s1_hist[7],
+                                       np.asarray(s2d.x_candidate),
+                                       atol=1e-8)
+
+    scale = abs(float(s1.cand_est)) + 1.0
+    assert abs(float(s1.cand_est) - float(s2d.cand_est)) / scale < 5e-3
+    assert abs(int(s1.n_duals) - int(s2d.n_duals)) <= 2
+    assert abs(int(jnp.sum(s1.cut_live)) - int(jnp.sum(s2d.cut_live))) <= 1
+
+
+def test_mesh_2d_driver_end_to_end():
+    """SDSolver(mesh_shape=(2,4)): 60 iterations + sharded MC evaluation
+    land in the lands neighborhood."""
+    require_instance("lands")
+    assert jax.device_count() >= 8
+    inst = load_instance("lands", dtype=jnp.float64)
+    solver = SDSolver(inst, _CFG, x0=np.array([3.0, 3.0, 3.0, 3.0]),
+                      seed=4, mesh_shape=(2, 4))
+    solver.run(60)
+    assert np.isfinite(solver.lower_estimate)
+    ub = solver.evaluate(n_samples=2048)
+    assert abs(ub - 381.8533) < 8.0, ub
