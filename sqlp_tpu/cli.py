@@ -71,20 +71,30 @@ def cmd_solve(args) -> int:
                                       dtype=config.jdtype)
 
     if args.replications > 1:
-        if args.mesh or args.shard_duals:
+        if args.mesh or args.shard_duals or args.proposal_sto:
             # SDReplications batches replications on one device program;
             # silently dropping the requested sharding misleads (ADVICE r1)
-            print("error: --mesh/--shard-duals are not supported with "
-                  "--replications > 1 (replications batch on a single "
-                  "device program); drop one of the flags", file=sys.stderr)
+            print("error: --mesh/--shard-duals/--proposal-sto are not "
+                  "supported with --replications > 1 (replications batch "
+                  "on a single device program); drop one of the flags",
+                  file=sys.stderr)
             return 2
         return _solve_replicated(args, config, inst, espec, x0)
+
+    proposal = None
+    if args.proposal_sto:
+        from sqlp_tpu.models.instance import load_proposal
+        proposal = load_proposal(inst, args.proposal_sto,
+                                 dtype=config.jdtype)
+        print(f"importance sampling from proposal {args.proposal_sto}",
+              file=sys.stderr)
 
     mesh_shape = (args.mesh_duals, args.mesh) \
         if args.mesh_duals and args.mesh else None
     solver = SDSolver(inst, config, espec=espec, x0=x0, seed=args.seed,
                       n_epi=E, mesh_devices=args.mesh,
-                      shard_duals=args.shard_duals, mesh_shape=mesh_shape)
+                      shard_duals=args.shard_duals, mesh_shape=mesh_shape,
+                      proposal=proposal)
     print(f"recourse lower bound: {solver.recourse_lb:.6g}"
           + (" (auto)" if args.epi_lb is None
              else f" (user: {args.epi_lb:g})"), flush=True)
@@ -348,6 +358,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="stop when the incumbent estimate moved less than "
                          "--stop-stall-tol over this many log checks")
     ps.add_argument("--stop-stall-tol", type=float, default=1e-4)
+    ps.add_argument("--proposal-sto", default=None, metavar="PATH",
+                    help="importance sampling: draw the SD scenario "
+                         "stream from this alternate .sto file (same "
+                         "random positions) and weight each scenario by "
+                         "the exact density ratio, fully on device "
+                         "(reference readme TODO items 5/8)")
     ps.add_argument("--no-auto-capacity", action="store_true",
                     help="keep --max-scenarios/--max-duals exactly as "
                          "given instead of shrinking them to what --iters "

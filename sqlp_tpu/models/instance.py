@@ -154,3 +154,32 @@ def load_instance(name_or_dir: str, dtype=jnp.float32) -> Instance:
     tim = read_tim(os.path.join(path, f"{name}.tim"))
     sto = read_sto(os.path.join(path, f"{name}.sto"))
     return compile_instance(cor, tim, sto, name=name, dtype=dtype)
+
+
+def load_proposal(inst: Instance, sto_path: str,
+                  dtype=None) -> ScenarioModel:
+    """Compile an alternate .sto file as an importance-sampling PROPOSAL
+    over the instance's stage-2 template.
+
+    The proposal must cover the same random positions (row/col) as the
+    instance's own stochastic model — the density ratio
+    p_target / p_proposal is only defined position-by-position. Used by
+    ``sd_step(proposal=...)`` / ``SDSolver(proposal=...)`` (the
+    importance-sampling workflow the reference scopes out as TODO items
+    5/8, readme.md:24-30).
+    """
+    sto = read_sto(sto_path)
+    model = build_scenario_model(sto, inst.sp2,
+                                 dtype=dtype or inst.arrays.r.dtype)
+    tgt = inst.scenario_model
+    if (model.n_rv != tgt.n_rv
+            or not np.array_equal(np.asarray(model.rv_row),
+                                  np.asarray(tgt.rv_row))
+            or not np.array_equal(np.asarray(model.rv_is_rhs),
+                                  np.asarray(tgt.rv_is_rhs))
+            or not np.array_equal(np.asarray(model.rv_col),
+                                  np.asarray(tgt.rv_col))):
+        raise ValueError(
+            f"proposal {sto_path} does not cover the same random "
+            f"positions as instance {inst.name}'s sto file")
+    return model

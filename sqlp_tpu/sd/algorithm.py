@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from sqlp_tpu.config import SDConfig
 from sqlp_tpu.models.instance import InstanceArrays
 from sqlp_tpu.models.scenario import (ScenarioModel, effective_rhs_deltas,
-                                      sample_deltas)
+                                      sample_deltas, sample_values,
+                                      scenario_log_pdf)
 from sqlp_tpu.ops.pdhg import PreparedLP, solve_batch
 from sqlp_tpu.ops.prox_qp import solve_qp
 from sqlp_tpu.sd.cuts import Cut, build_sasa_cut, evaluate_multi_epigraph
@@ -97,7 +98,8 @@ def _quad_scalar_schedule(state: SDState, config: SDConfig):
 def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
             prep_sub: PreparedLP, state: SDState, config: SDConfig,
             deltas: jax.Array | None = None,
-            weights: jax.Array | None = None) -> Tuple[SDState, dict]:
+            weights: jax.Array | None = None,
+            proposal: ScenarioModel | None = None) -> Tuple[SDState, dict]:
     """One SD iteration. Pure: (state, key) -> (state', stats).
 
     ``deltas`` ([E, B, R], optional) supplies the iteration's scenarios
@@ -109,6 +111,12 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
     importance-sampling hook the reference documents in its TODO list
     (readme.md items 5/8). All downstream cut math (probability
     normalization, weight_mark discounting) already carries weights.
+
+    ``proposal`` (optional ScenarioModel over the same positions) runs
+    importance sampling fully inside the jitted step: scenarios draw from
+    the proposal, weights are the exact density ratios
+    p_model / p_proposal — no per-iteration host round trip, so IS runs
+    at full chunked speed. Mutually exclusive with explicit deltas.
     """
     E = espec.n_epi
     B = config.scenarios_per_iter
@@ -122,10 +130,20 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
     key, k_sample = jax.random.split(state.key)
 
     # ---- 1. sample + append scenarios (add_scenario!, epigraph.jl:81-96)
+    if deltas is None and proposal is not None:
+        vals = sample_values(k_sample, proposal, E * B,
+                             method=config.sampling)
+        logw = scenario_log_pdf(model, vals) - scenario_log_pdf(proposal,
+                                                                vals)
+        new_deltas = (vals - model.base).astype(dt).reshape(
+            E, B, model.n_rv)
+        assert weights is None, "proposal computes its own weights"
+        weights = jnp.exp(logw).astype(dt).reshape(E, B)
     if deltas is None:
-        new_deltas = sample_deltas(k_sample, model, E * B,
-                                   method=config.sampling
-                                   ).reshape(E, B, model.n_rv)
+        if proposal is None:
+            new_deltas = sample_deltas(k_sample, model, E * B,
+                                       method=config.sampling
+                                       ).reshape(E, B, model.n_rv)
     else:
         assert deltas.shape[:2] == (E, B), (
             f"user scenarios must be [n_epi={E}, B={B}, R], got "
@@ -444,7 +462,8 @@ def scalar_stat_schema(arrays, model, espec, prep_sub, state, config,
 @partial(jax.jit, static_argnames=("config", "n_steps"))
 def sd_run(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
            prep_sub: PreparedLP, state: SDState, config: SDConfig,
-           n_steps: int, n: jax.Array | None = None
+           n_steps: int, n: jax.Array | None = None,
+           proposal: ScenarioModel | None = None
            ) -> Tuple[SDState, jax.Array]:
     """Run up to n_steps SD iterations fully on device.
 
@@ -469,7 +488,8 @@ def sd_run(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
 
     def body(i, carry):
         state, acc = carry
-        state, stats = sd_step(arrays, model, espec, prep_sub, state, config)
+        state, stats = sd_step(arrays, model, espec, prep_sub, state,
+                               config, proposal=proposal)
         row = jnp.stack([stats[k].astype(jnp.float32) for k in keys])
         return state, acc.at[i].set(row)
 
@@ -483,7 +503,8 @@ def sd_run(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
 def sd_run_replicated(arrays: InstanceArrays, model: ScenarioModel,
                       espec: EpigraphSpec, prep_sub: PreparedLP,
                       states: SDState, config: SDConfig,
-                      n_steps: int, n: jax.Array | None = None
+                      n_steps: int, n: jax.Array | None = None,
+                      proposal: ScenarioModel | None = None
                       ) -> Tuple[SDState, dict]:
     """Advance R independent SD replications together, fully on device.
 
@@ -505,7 +526,8 @@ def sd_run_replicated(arrays: InstanceArrays, model: ScenarioModel,
     entries past ``n`` are zero.
     """
     step = jax.vmap(
-        lambda st: sd_step(arrays, model, espec, prep_sub, st, config))
+        lambda st: sd_step(arrays, model, espec, prep_sub, st, config,
+                           proposal=proposal))
     keys = scalar_stat_keys(arrays, model, espec, prep_sub, states, config,
                             ndim=1)
     R = states.cut_alpha.shape[0]

@@ -45,13 +45,18 @@ class SDSolver:
                  espec: Optional[EpigraphSpec] = None,
                  x0=None, seed: int = 0, n_epi: int = 1,
                  mesh_devices: int = 0, shard_duals: bool = False,
-                 mesh_shape: Optional[tuple] = None):
+                 mesh_shape: Optional[tuple] = None,
+                 proposal=None):
         """mesh_devices > 1 builds a 1-D device mesh and shards the
         scenario stores (and, with shard_duals, the dual-vertex pool)
         over it; 0/1 runs single-device. ``mesh_shape=(nd, ns)`` builds a
         2-D (duals x scenarios) mesh instead: the dual pool shards over
         nd devices and the scenario stores over ns (SURVEY §5.7's two
-        growth axes each on their own mesh dimension). Multi-host setups
+        growth axes each on their own mesh dimension). ``proposal`` (a
+        ScenarioModel over the same positions, see
+        models.instance.load_proposal) switches the scenario stream to
+        on-device importance sampling: draws come from the proposal,
+        weights are the exact density ratios. Multi-host setups
         must call jax.distributed.initialize()
         (sqlp_tpu.parallel.distributed) before constructing the solver."""
         configure_jax()
@@ -129,6 +134,7 @@ class SDSolver:
         self.state: SDState = init_state(
             inst, self.espec, config, x0, jax.random.PRNGKey(seed))
         self.scenario_model = inst.scenario_model
+        self.proposal = proposal
         self.mesh = None
         if mesh_shape is not None or (mesh_devices and mesh_devices > 1):
             from sqlp_tpu.parallel.mesh import (make_mesh, make_mesh_2d,
@@ -149,6 +155,8 @@ class SDSolver:
             self.prep_sub = replicate(self.prep_sub, mesh)
             self.espec = replicate(self.espec, mesh)
             self.scenario_model = replicate(inst.scenario_model, mesh)
+            if self.proposal is not None:
+                self.proposal = replicate(self.proposal, mesh)
             self.state = shard_state(self.state, mesh,
                                      shard_duals=shard_duals)
         self.history: List[Dict] = []
@@ -167,7 +175,7 @@ class SDSolver:
         entries unscaled)."""
         self.state, stats = sd_step(
             self.arrays, self.scenario_model, self.espec,
-            self.prep_sub, self.state, self.config)
+            self.prep_sub, self.state, self.config, proposal=self.proposal)
         return self._unscale(stats)
 
     def step_scenarios(self, values=None, deltas=None, weights=None) -> Dict:
@@ -240,7 +248,7 @@ class SDSolver:
             self.state, packed = sd_run(
                 self.arrays, self.scenario_model, self.espec,
                 self.prep_sub, self.state, self.config, min(chunk, n_iters),
-                jnp.asarray(n, jnp.int32))
+                jnp.asarray(n, jnp.int32), proposal=self.proposal)
             packed = np.asarray(packed)         # ONE device->host transfer
             acc = self._unscale(
                 {k: packed[:n, j].astype(dt)

@@ -265,6 +265,44 @@ def test_importance_sampling_sd_run_converges(lands):
     assert abs(ub - 381.85) < 6.0, ub
 
 
+def test_on_device_proposal_run(lands, tmp_path):
+    """SDSolver(proposal=...): the whole importance-sampling loop runs
+    inside the chunked device program (no per-iteration host work) and
+    converges to the lands neighborhood; stored weights are the exact
+    density ratios {0.9, 1.2}."""
+    from sqlp_tpu.models.instance import load_proposal
+
+    sto = tmp_path / "prop.sto"
+    sto.write_text(
+        "STOCH         LandS\n"
+        "INDEP         DISCRETE\n"
+        "    RHS       S2C5      3.0                      0.3333333333\n"
+        "    RHS       S2C5      5.0                      0.3333333333\n"
+        "    RHS       S2C5      7.0                      0.3333333334\n"
+        "ENDATA\n")
+    prop = load_proposal(lands, str(sto), dtype=jnp.float64)
+    s = SDSolver(lands, _CFG, x0=np.array([3.0, 3.0, 3.0, 3.0]), seed=6,
+                 proposal=prop)
+    s.run(200)
+    assert 370 < s.lower_estimate < 390, s.lower_estimate
+    w = np.asarray(s.state.scen_weights[0])[:int(s.state.n_scen[0])]
+    assert set(np.round(w, 6)) <= {0.9, 1.2}, np.unique(w)
+    # total weight accumulates the ratios (mean 1 in expectation)
+    assert abs(float(s.state.total_weight[0]) / 200 - 1.0) < 0.15
+
+
+def test_load_proposal_position_mismatch(lands, tmp_path):
+    sto = tmp_path / "bad.sto"
+    sto.write_text(
+        "STOCH         LandS\n"
+        "INDEP         DISCRETE\n"
+        "    RHS       S2C6      3.0                      1.0\n"
+        "ENDATA\n")
+    from sqlp_tpu.models.instance import load_proposal
+    with pytest.raises((ValueError, AssertionError, KeyError)):
+        load_proposal(lands, str(sto), dtype=jnp.float64)
+
+
 def test_sd_config_sampling_stratified_runs(lands):
     """config.sampling drives the internal sampler (B>1 path)."""
     cfg = _CFG.replace(scenarios_per_iter=4, sampling="stratified")
