@@ -193,6 +193,15 @@ class SDConfig:
     # dual is only accepted when it stays dual-feasible and does not lose
     # dual objective, so cuts can only tighten.
     dual_crossover: bool = True
+    # Adaptive off-switch: after this many CONSECUTIVE iterations in which
+    # the crossover accepted zero duals, stop running it (lax.cond skips
+    # the batched [m2, m2] active-set solves — 41% of the storm step,
+    # where f32 rounding never passes the dual-feasibility acceptance:
+    # measured 0/96 accepted on storm vs 23-50% on lands/transship/ssn).
+    # One acceptance resets the counter; once dry past the limit it stays
+    # off (a pool that rejected 64 straight rounds will not start
+    # accepting as duals get harder). 0 disables the gate.
+    crossover_dry_limit: int = 64
 
     # --- numerics ---
     dtype: str = "float32"

@@ -88,7 +88,7 @@ def state_pspecs(axis_name: str = SCENARIO_AXIS,
         inc_alpha=r, inc_beta=r, inc_valid=r,
         x_candidate=r, x_incumbent=r,
         cand_est=r, inc_est=r, req_improvement=r, is_improved=r,
-        quad_scalar=r, normDk_1=r, normDk_init=r,
+        quad_scalar=r, normDk_1=r, normDk_init=r, xover_dry=r,
         master_solved=r, master_z=r, master_mu=r, master_rho=r,
         sub_warm_Y=r, sub_warm_L=r,
     )

@@ -224,14 +224,34 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
     if config.dual_crossover:
         # round interior-ish first-order duals to basic vertices (cut
         # sharpness parity with the reference's simplex duals); rejected
-        # elements keep their PDHG dual
+        # elements keep their PDHG dual. Adaptive gate: once the
+        # acceptance test has rejected every dual for crossover_dry_limit
+        # consecutive iterations, lax.cond skips the batched [m2, m2]
+        # active-set solves entirely (41% of the storm step, where f32
+        # never passes the 1e-6 dual-feasibility acceptance; accepted
+        # iterations reset the counter so lands/ssn keep their gains).
         from sqlp_tpu.ops.crossover import sharpen_duals
-        Pi_sharp, xover = sharpen_duals(
-            arrays.W, arrays.q, arrays.senses2, arrays.lb2, arrays.ub2,
-            H, sub_Y, Pi)
-        sub_stats = dict(sub_stats, crossover_accepted=jnp.sum(xover))
+
+        def _run_xover(_):
+            return sharpen_duals(
+                arrays.W, arrays.q, arrays.senses2, arrays.lb2, arrays.ub2,
+                H, sub_Y, Pi)
+
+        def _skip_xover(_):
+            return Pi, jnp.zeros((Pi.shape[0],), bool)
+
+        if config.crossover_dry_limit > 0:
+            live = state.xover_dry < config.crossover_dry_limit
+            Pi_sharp, xover = jax.lax.cond(live, _run_xover, _skip_xover,
+                                           None)
+        else:
+            Pi_sharp, xover = _run_xover(None)
+        n_acc = jnp.sum(xover)
+        xover_dry = jnp.where(n_acc > 0, 0, state.xover_dry + 1)
+        sub_stats = dict(sub_stats, crossover_accepted=n_acc)
     else:
         Pi_sharp = Pi
+        xover_dry = state.xover_dry
         sub_stats = dict(sub_stats,
                          crossover_accepted=jnp.zeros((), jnp.int32))
 
@@ -407,6 +427,7 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
         key=key,
         it=state.it + 1,
         x_candidate=x_candidate,
+        xover_dry=xover_dry,
         cut_dual=cut_dual,
         master_solved=qp_stats["qp_converged"],
         master_z=z,

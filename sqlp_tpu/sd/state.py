@@ -94,6 +94,10 @@ class SDState:
     normDk_1: jax.Array
     normDk_init: jax.Array    # bool
 
+    # crossover adaptive gate: consecutive iterations with zero accepted
+    # vertex roundings (config.crossover_dry_limit turns the solve off)
+    xover_dry: jax.Array      # int32
+
     # master solve bookkeeping
     master_solved: jax.Array  # bool (gates cut pruning, algorithm.jl:57)
     master_z: jax.Array       # [n1+E] warm start
@@ -163,6 +167,7 @@ def init_state(inst: Instance, espec: EpigraphSpec, config: SDConfig,
         quad_scalar=jnp.asarray(config.quad_scalar_init, dt),
         normDk_1=jnp.asarray(0.0, dt),
         normDk_init=jnp.asarray(False),
+        xover_dry=jnp.zeros((), jnp.int32),
         master_solved=jnp.asarray(False),
         master_z=f((n1 + E,)),
         master_mu=f((master_rows(n1, m1, E, K),)),
