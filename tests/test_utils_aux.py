@@ -101,6 +101,32 @@ def test_checkpoint_missing_scalar_field_defaults(tmp_path):
         assert "x_candidate" in str(e)
 
 
+def test_checkpoint_pre_weighted_stream_loads(tmp_path):
+    """A checkpoint from before weighted streams (no n_stream array) must
+    restore n_stream = total_weight exactly — every earlier run used unit
+    weights, where the stream count IS the total weight — so resumed
+    reservoir sampling continues the same inclusion probabilities."""
+    path = str(tmp_path / "ckpt.npz")
+    a = _solver()
+    a.run(7)
+    save_state(path, a.state, instance="lands")
+
+    with np.load(path) as z:
+        payload = {k: z[k] for k in z.files}
+    del payload["n_stream"]
+    np.savez(path, **payload)
+
+    b = _solver()
+    b.state = load_state(path, template=b.state)
+    np.testing.assert_array_equal(np.asarray(b.state.n_stream),
+                                  np.asarray(a.state.total_weight,
+                                             np.int32))
+    # and the resumed trajectory still matches a straight run
+    a.run(5)
+    b.run(5)
+    np.testing.assert_array_equal(a.x_candidate, b.x_candidate)
+
+
 def test_metrics_jsonl_sink(tmp_path):
     path = str(tmp_path / "m.jsonl")
     with MetricsLogger(path) as log:
