@@ -202,6 +202,8 @@ def _bench_throughput(inst, config, B: int) -> dict:
 def _bench_sd_gap(inst, config, n_iters: int) -> dict:
     """Reference ssn driver workload: wall-clock to run n_iters SD
     iterations plus the final lb/ub gap (ssn_test.jl:31,45-48)."""
+    import numpy as np
+
     from sqlp_tpu.sd.driver import SDSolver
 
     # warm-up solver triggers all XLA compiles (persistent compile cache
@@ -214,15 +216,22 @@ def _bench_sd_gap(inst, config, n_iters: int) -> dict:
 
     solver = SDSolver(inst, config, seed=0)
     t0 = time.time()
-    solver.run(n_iters)
+    solver.run(n_iters, log_every=1)
     wallclock = time.time() - t0
     lb = solver.lower_estimate
+    # the candidate estimate is a noisy series (every cut moves it);
+    # the trailing mean is the stable read a practitioner would report
+    lb_tail = [h["cand_est"] for h in solver.history[-100:]]
+    # stratified MC: unbiased, and the reported iid-based half-width is
+    # then conservative (sd/driver.py:evaluate_ci docstring)
     ub, hw, n = solver.evaluate_ci(min_samples=8192, max_samples=8192,
-                                   seed=7)
+                                   seed=7, sampling="stratified")
     gap = (ub - lb) / max(abs(ub), 1e-9)
     return {"sd_iters": n_iters, "sd_wallclock_s": round(wallclock, 2),
             "sd_iters_per_sec": round(n_iters / wallclock, 2),
-            "lb_est": round(lb, 4), "mc_ub": round(ub, 4),
+            "lb_est": round(lb, 4),
+            "lb_est_mean_last100": round(float(np.mean(lb_tail)), 4),
+            "mc_ub": round(ub, 4),
             "mc_ub_half_width": round(hw, 4), "rel_gap": round(gap, 5)}
 
 
