@@ -130,7 +130,12 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
     key, k_sample = jax.random.split(state.key)
 
     # ---- 1. sample + append scenarios (add_scenario!, epigraph.jl:81-96)
-    if deltas is None and proposal is not None:
+    if deltas is not None:
+        assert deltas.shape[:2] == (E, B), (
+            f"user scenarios must be [n_epi={E}, B={B}, R], got "
+            f"{deltas.shape} (B is config.scenarios_per_iter)")
+        new_deltas = deltas.astype(dt)
+    elif proposal is not None:
         vals = sample_values(k_sample, proposal, E * B,
                              method=config.sampling)
         logw = scenario_log_pdf(model, vals) - scenario_log_pdf(proposal,
@@ -139,16 +144,10 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
             E, B, model.n_rv)
         assert weights is None, "proposal computes its own weights"
         weights = jnp.exp(logw).astype(dt).reshape(E, B)
-    if deltas is None:
-        if proposal is None:
-            new_deltas = sample_deltas(k_sample, model, E * B,
-                                       method=config.sampling
-                                       ).reshape(E, B, model.n_rv)
     else:
-        assert deltas.shape[:2] == (E, B), (
-            f"user scenarios must be [n_epi={E}, B={B}, R], got "
-            f"{deltas.shape} (B is config.scenarios_per_iter)")
-        new_deltas = deltas.astype(dt)
+        new_deltas = sample_deltas(k_sample, model, E * B,
+                                   method=config.sampling
+                                   ).reshape(E, B, model.n_rv)
     if weights is None:
         new_w = jnp.ones((E, B), dt)
     else:
