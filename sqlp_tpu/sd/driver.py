@@ -292,6 +292,16 @@ class SDSolver:
         reference drivers print (sd_single_cut_test.jl:71-77)."""
         return float(self.state.cand_est) * self.obj_scale
 
+    def _warmstart_pool(self) -> Optional[np.ndarray]:
+        """Live dual-vertex pool [n_duals, m2] (f64, host) for MC-retry
+        warm starts, or None when empty. Overridden by SDReplications,
+        whose state carries a leading replication axis."""
+        from sqlp_tpu.parallel.mesh import to_host
+        n_duals = int(self.state.n_duals)
+        if n_duals <= 0:
+            return None
+        return np.asarray(to_host(self.state.duals)[:n_duals], np.float64)
+
     def _recourse_objs(self, H) -> np.ndarray:
         """Recourse objectives for an RHS panel, certified per element.
 
@@ -325,7 +335,10 @@ class SDSolver:
             Hn_host = None
             obj, _, _, stats = solve_batch(self.prep_sub, H,
                                            self.config.pdhg)
-            vals = np.asarray(obj, np.float64)
+            # np.array (copy): with matching dtypes np.asarray returns a
+            # READ-ONLY zero-copy view of the device buffer, and the
+            # retry/fallback paths below assign into vals in place
+            vals = np.array(obj, np.float64)
             valid = np.asarray(stats["pdhg_valid"])
         bad = np.flatnonzero(~valid)
         Hn = Hn_host if Hn_host is not None else np.asarray(H, np.float64)
@@ -340,12 +353,9 @@ class SDSolver:
             bucket = max(64, 1 << (int(bad.size) - 1).bit_length())
             idx = np.pad(bad, (0, bucket - bad.size), mode="edge")
             Hb = jnp.asarray(Hn[idx], self.config.jdtype)
-            n_duals = int(self.state.n_duals)
             L0 = None
-            if n_duals > 0:
-                from sqlp_tpu.parallel.mesh import to_host
-                pool = np.asarray(to_host(self.state.duals)[:n_duals],
-                                  np.float64)
+            pool = self._warmstart_pool()
+            if pool is not None:
                 L0 = jnp.asarray(pool[np.argmax(pool @ Hn[idx].T, axis=0)],
                                  self.config.jdtype)
             obj_r, _, _, st_r = solve_batch(self.prep_sub, Hb,
@@ -562,6 +572,17 @@ class SDReplications(SDSolver):
         packed = np.asarray(packed)
         return self._unscale({k: packed[0, j].astype(dt)
                               for j, (k, dt) in enumerate(schema)})
+
+    def _warmstart_pool(self) -> Optional[np.ndarray]:
+        """Union of every replication's live dual vertices: the MC retry
+        evaluates arbitrary x (e.g. the compromise decision), so any
+        replication's vertex is an equally valid warm-start candidate."""
+        n_duals = np.asarray(self.state.n_duals)           # [R]
+        if not n_duals.max(initial=0) > 0:
+            return None
+        duals = np.asarray(self.state.duals, np.float64)   # [R, D, m2]
+        return np.concatenate(
+            [duals[r, :int(n_duals[r])] for r in range(len(n_duals))])
 
     @property
     def states(self) -> List[SDState]:

@@ -82,3 +82,40 @@ def test_replications_batched_matches_sequential():
                                   [(Position("RHS", "S2C5"), v)])
         cost += p * obj
     assert abs(cost - 381.8533333) < 3.0
+
+
+def test_replications_evaluate_retry_path():
+    """SDReplications.evaluate with uncertifiable batch elements: the MC
+    retry's dual warm start must read the REPLICATED state ([R]-shaped
+    n_duals / [R, D, m2] pool) — it crashed with `int(state.n_duals)` on
+    the batched pytree (regression)."""
+    import pytest
+    require_instance("lands")
+    from sqlp_tpu.models.routines import solve_problem
+    from sqlp_tpu.models.smps_tim import Position
+    from sqlp_tpu.sd.driver import SDReplications
+    inst = load_instance("lands", dtype=jnp.float64)
+    x0 = np.array([3.0, 3.0, 3.0, 3.0])
+
+    # valid_tol below the solver's numeric floor: every element fails
+    # certification, forcing the device retry (pool warm start) and then
+    # the exact host fallback for the whole panel
+    cfg = _CFG.replace(pdhg=PDHGConfig(tol=1e-8, max_iters=10_000,
+                                       valid_tol=1e-30))
+    reps = SDReplications(inst, cfg, n_replications=2, x0=x0, seed=1)
+    reps.run(20)
+    assert reps._warmstart_pool() is not None
+    x = reps.x_incumbents[0]
+    with pytest.warns(UserWarning, match="re-solved exactly on host"):
+        ub = reps.evaluate(x=x, n_samples=64, seed=3, batch=64)
+    # the fallback solves exactly on host, so the estimate must match the
+    # closed-form expectation at the SAME x up to MC sampling error over
+    # the 3-outcome rv (64 draws)
+    cost = float(np.asarray(inst.arrays.c) @ x)
+    recourse = []
+    for v, p in zip([3.0, 5.0, 7.0], [0.3, 0.4, 0.3]):
+        obj, _, _ = solve_problem(inst.sp2, x, [(Position("RHS", "S2C5"), v)])
+        recourse.append((obj, p))
+    exact = cost + sum(o * p for o, p in recourse)
+    spread = max(o for o, _ in recourse) - min(o for o, _ in recourse)
+    assert abs(ub - exact) < 0.5 * spread + 1e-6, (ub, exact)
