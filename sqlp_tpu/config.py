@@ -123,6 +123,14 @@ class QPConfig:
     # solve burns its full budget (plus the cold retry: 8000 iterations)
     # to return the same 3e-3 iterate a tenth of the budget reaches.
     stall_hard_windows: int = 0
+    # Cold-restart fallback when a WARM-started solve misses tolerance
+    # (a stale (z, mu) can trap ADMM for its whole budget; see the retry
+    # block in solve_qp). Disable under vmap — jax.lax.cond lowers to a
+    # select there, so every replication pays the full second ADMM loop
+    # every master solve whether or not any needed it (measured 45% of
+    # the replicated SD step); the stall caps and sd_step's feasibility
+    # guard/repairs backstop the rare trap instead.
+    warm_retry: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -370,7 +370,7 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
         return zr, mur, jnp.minimum(err_best, err_last), rounds, rho_last
 
     z, mu, err, rounds, rho_out = _run(z_w, mu_w, rho_w)
-    if z0 is not None or mu0 is not None:
+    if (z0 is not None or mu0 is not None) and config.warm_retry:
         # A STALE warm start can trap ADMM for the whole budget: after the
         # cut pool changes (insert/evict + incumbent-cut refresh) the
         # previous master's (z, mu) pins the iterate in a basin where the

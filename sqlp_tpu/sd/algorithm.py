@@ -94,36 +94,22 @@ def _quad_scalar_schedule(state: SDState, config: SDConfig):
     return new_qs, new_qs, new_normDk_1, new_init
 
 
-@partial(jax.jit, static_argnames=("config",))
-def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
-            prep_sub: PreparedLP, state: SDState, config: SDConfig,
-            deltas: jax.Array | None = None,
-            weights: jax.Array | None = None,
-            proposal: ScenarioModel | None = None) -> Tuple[SDState, dict]:
-    """One SD iteration. Pure: (state, key) -> (state', stats).
+def _sample_and_rhs(arrays: InstanceArrays, model: ScenarioModel,
+                    espec: EpigraphSpec, state: SDState, config: SDConfig,
+                    deltas: jax.Array | None,
+                    weights: jax.Array | None,
+                    proposal: ScenarioModel | None):
+    """Steps 1-2a of the SD iteration: sample/append scenarios and build
+    the [2EB, m2] subproblem RHS panel plus the pool dual warm start.
 
-    ``deltas`` ([E, B, R], optional) supplies the iteration's scenarios
-    externally instead of sampling from the scenario model — the
-    reference's driver-supplied ``scenario_list`` surface
-    (``sd_iteration!(cell, scenario_list)``, algorithm.jl:39-45).
-    ``weights`` ([E, B], optional, default 1) is the per-scenario weight of
-    ``add_scenario!(epi, scenario, weight)`` (epigraph.jl:81-96) — the
-    importance-sampling hook the reference documents in its TODO list
-    (readme.md items 5/8). All downstream cut math (probability
-    normalization, weight_mark discounting) already carries weights.
-
-    ``proposal`` (optional ScenarioModel over the same positions) runs
-    importance sampling fully inside the jitted step: scenarios draw from
-    the proposal, weights are the exact density ratios
-    p_model / p_proposal — no per-iteration host round trip, so IS runs
-    at full chunked speed. Mutually exclusive with explicit deltas.
+    Returns (key', store, H, L0) where ``store`` carries the updated
+    scenario-store fields. Split out of sd_step so the replicated step can
+    vmap this phase while flattening the LP solves (see
+    sd_step_replicated).
     """
     E = espec.n_epi
     B = config.scenarios_per_iter
     S = config.max_scenarios
-    K = config.max_cuts
-    n1 = arrays.c.shape[0]
-    m1 = arrays.b1.shape[0]
     m2 = arrays.r.shape[0]
     dt = arrays.c.dtype
 
@@ -217,47 +203,60 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
         L0 = jnp.where(state.n_duals > 0, L0_pool, state.sub_warm_L)
     else:
         L0 = state.sub_warm_L
-    sub_obj, sub_Y, Pi, sub_stats = solve_batch(
-        prep_sub, H, config.pdhg, Y0=state.sub_warm_Y, L0=L0)
 
-    if config.dual_crossover:
-        # round interior-ish first-order duals to basic vertices (cut
-        # sharpness parity with the reference's simplex duals); rejected
-        # elements keep their PDHG dual. Adaptive gate: once the
-        # acceptance test has rejected every dual for crossover_dry_limit
-        # consecutive iterations, lax.cond skips the batched [m2, m2]
-        # active-set solves entirely (41% of the storm step, where f32
-        # never passes the 1e-6 dual-feasibility acceptance; accepted
-        # iterations reset the counter so lands/ssn keep their gains).
-        from sqlp_tpu.ops.crossover import sharpen_duals
+    store = dict(scen_deltas=scen_deltas, scen_weights=scen_weights,
+                 n_scen=n_scen, n_stream=n_stream,
+                 total_weight=total_weight, overflow=overflow)
+    return key, store, H, L0
 
-        def _run_xover(_):
-            return sharpen_duals(
-                arrays.W, arrays.q, arrays.senses2, arrays.lb2, arrays.ub2,
-                H, sub_Y, Pi)
 
-        def _skip_xover(_):
-            return Pi, jnp.zeros((Pi.shape[0],), bool)
+def _sharpen_flat(arrays: InstanceArrays, H: jax.Array, sub_Y: jax.Array,
+                  Pi: jax.Array, live_el: jax.Array | None):
+    """Crossover on a flat element batch with an optional per-element live
+    mask (no lax.cond: callers whose elements disagree on the dry gate —
+    the replicated step — mask instead of branching)."""
+    from sqlp_tpu.ops.crossover import sharpen_duals
 
-        if config.crossover_dry_limit > 0:
-            live = state.xover_dry < config.crossover_dry_limit
-            Pi_sharp, xover = jax.lax.cond(live, _run_xover, _skip_xover,
-                                           None)
-        else:
-            Pi_sharp, xover = _run_xover(None)
-        n_acc = jnp.sum(xover)
-        xover_dry = jnp.where(n_acc > 0, 0, state.xover_dry + 1)
-        sub_stats = dict(sub_stats, crossover_accepted=n_acc)
-    else:
-        Pi_sharp = Pi
-        xover_dry = state.xover_dry
-        sub_stats = dict(sub_stats,
-                         crossover_accepted=jnp.zeros((), jnp.int32))
+    Pi_sharp, accept = sharpen_duals(
+        arrays.W, arrays.q, arrays.senses2, arrays.lb2, arrays.ub2,
+        H, sub_Y, Pi)
+    if live_el is not None:
+        Pi_sharp = jnp.where(live_el[:, None], Pi_sharp, Pi)
+        accept = jnp.logical_and(accept, live_el)
+    return Pi_sharp, accept
+
+
+def _finish(arrays: InstanceArrays, model: ScenarioModel,
+            espec: EpigraphSpec, state: SDState, config: SDConfig,
+            key: jax.Array, store: dict,
+            sub_obj: jax.Array, sub_Y: jax.Array, Pi: jax.Array,
+            Pi_sharp: jax.Array, pdhg_valid: jax.Array,
+            xover_dry: jax.Array, crossover_accepted: jax.Array,
+            qp_config=None) -> Tuple[SDState, dict]:
+    """Steps 3-8 of the SD iteration: dual-pool push, cut prune/build,
+    incumbent selection, schedule, master solve. Pure per-replication
+    arithmetic — the replicated step vmaps this phase (with a
+    ``qp_config`` override that drops vmap-hostile master branches)."""
+    if qp_config is None:
+        qp_config = config.qp
+    E = espec.n_epi
+    B = config.scenarios_per_iter
+    S = config.max_scenarios
+    K = config.max_cuts
+    n1 = arrays.c.shape[0]
+    m1 = arrays.b1.shape[0]
+    scen_deltas = store["scen_deltas"]
+    scen_weights = store["scen_weights"]
+    n_scen = store["n_scen"]
+    n_stream = store["n_stream"]
+    total_weight = store["total_weight"]
+    overflow = store["overflow"]
+    sub_stats = {"crossover_accepted": crossover_accepted}
 
     duals, duals_rounded, n_duals, duals_dropped, duals_score = push_duals(
         state.duals, state.duals_rounded, state.n_duals, Pi_sharp,
         state.duals_dropped, config.dual_sig_bits,
-        valid=sub_stats["pdhg_valid"], score=state.duals_score)
+        valid=pdhg_valid, score=state.duals_score)
 
     # ---- 4. prune near-zero-dual cuts (algorithm.jl:57-69). The
     # reference's threshold is absolute (1e-3 on exact CPLEX duals); ours
@@ -371,7 +370,7 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
 
     # ---- 8. regularized master solve (algorithm.jl:101-112)
     p_diag, g, A, l, u, is_eq = assemble_master(arrays, espec, state_now, rho)
-    z, mu, qp_stats = solve_qp(p_diag, g, A, l, u, is_eq, config.qp,
+    z, mu, qp_stats = solve_qp(p_diag, g, A, l, u, is_eq, qp_config,
                                z0=state.master_z, mu0=state.master_mu,
                                rho_init=state.master_rho)
     # ADMM converges in a relative sense; clip residual bound violations so
@@ -455,6 +454,152 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
     return new_state, stats
 
 
+@partial(jax.jit, static_argnames=("config",))
+def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
+            prep_sub: PreparedLP, state: SDState, config: SDConfig,
+            deltas: jax.Array | None = None,
+            weights: jax.Array | None = None,
+            proposal: ScenarioModel | None = None) -> Tuple[SDState, dict]:
+    """One SD iteration. Pure: (state, key) -> (state', stats).
+
+    ``deltas`` ([E, B, R], optional) supplies the iteration's scenarios
+    externally instead of sampling from the scenario model — the
+    reference's driver-supplied ``scenario_list`` surface
+    (``sd_iteration!(cell, scenario_list)``, algorithm.jl:39-45).
+    ``weights`` ([E, B], optional, default 1) is the per-scenario weight of
+    ``add_scenario!(epi, scenario, weight)`` (epigraph.jl:81-96) — the
+    importance-sampling hook the reference documents in its TODO list
+    (readme.md items 5/8). All downstream cut math (probability
+    normalization, weight_mark discounting) already carries weights.
+
+    ``proposal`` (optional ScenarioModel over the same positions) runs
+    importance sampling fully inside the jitted step: scenarios draw from
+    the proposal, weights are the exact density ratios
+    p_model / p_proposal — no per-iteration host round trip, so IS runs
+    at full chunked speed. Mutually exclusive with explicit deltas.
+    """
+    key, store, H, L0 = _sample_and_rhs(arrays, model, espec, state, config,
+                                        deltas, weights, proposal)
+
+    # ---- 2+3. batched subproblem solves at candidate AND incumbent
+    sub_obj, sub_Y, Pi, sub_stats = solve_batch(
+        prep_sub, H, config.pdhg, Y0=state.sub_warm_Y, L0=L0)
+
+    if config.dual_crossover:
+        # round interior-ish first-order duals to basic vertices (cut
+        # sharpness parity with the reference's simplex duals); rejected
+        # elements keep their PDHG dual. Adaptive gate: once the
+        # acceptance test has rejected every dual for crossover_dry_limit
+        # consecutive iterations, lax.cond skips the batched [m2, m2]
+        # active-set solves entirely (41% of the storm step, where f32
+        # never passes the 1e-6 dual-feasibility acceptance; accepted
+        # iterations reset the counter so lands/ssn keep their gains).
+        def _run_xover(_):
+            return _sharpen_flat(arrays, H, sub_Y, Pi, None)
+
+        def _skip_xover(_):
+            return Pi, jnp.zeros((Pi.shape[0],), bool)
+
+        if config.crossover_dry_limit > 0:
+            live = state.xover_dry < config.crossover_dry_limit
+            Pi_sharp, xover = jax.lax.cond(live, _run_xover, _skip_xover,
+                                           None)
+        else:
+            Pi_sharp, xover = _run_xover(None)
+        n_acc = jnp.sum(xover)
+        xover_dry = jnp.where(n_acc > 0, 0, state.xover_dry + 1)
+    else:
+        Pi_sharp = Pi
+        xover_dry = state.xover_dry
+        n_acc = jnp.zeros((), jnp.int32)
+
+    new_state, stats = _finish(arrays, model, espec, state, config,
+                               key, store, sub_obj, sub_Y, Pi, Pi_sharp,
+                               sub_stats["pdhg_valid"], xover_dry, n_acc)
+    stats.update(sub_stats)
+    return new_state, stats
+
+
+@partial(jax.jit, static_argnames=("config",))
+def sd_step_replicated(arrays: InstanceArrays, model: ScenarioModel,
+                       espec: EpigraphSpec, prep_sub: PreparedLP,
+                       states: SDState, config: SDConfig,
+                       proposal: ScenarioModel | None = None
+                       ) -> Tuple[SDState, dict]:
+    """One SD iteration on R stacked replications.
+
+    ``states`` carries a leading replication axis R on every leaf.
+    A naive ``jax.vmap(sd_step)`` was measured ~R-times slower per
+    iteration than a single run (ssn, R=8: 15.5 vs 251 it/s): the PDHG
+    while_loop/Pallas rounds under vmap degrade to per-replication
+    serial work. Here only the cheap arithmetic phases are vmapped; the
+    LP solves flatten the replication axis into ONE [R*2EB]-row
+    solve_batch call (one while_loop, one compaction ladder, full MXU
+    batch) and the crossover masks its per-replication dry gate instead
+    of branching. Same per-replication semantics; stats are [R]-shaped,
+    with panel-global PDHG scalars (rounds/err/converged) broadcast —
+    the solve is shared, so they are genuinely global.
+    """
+    R = states.cut_alpha.shape[0]
+    m2 = arrays.r.shape[0]
+
+    key, store, H, L0 = jax.vmap(
+        lambda st: _sample_and_rhs(arrays, model, espec, st, config,
+                                   None, None, proposal))(states)
+    P = H.shape[1]                                      # 2*E*B per rep
+    H_flat = H.reshape(R * P, m2)
+    sub_obj, sub_Y, Pi, sub_stats = solve_batch(
+        prep_sub, H_flat, config.pdhg,
+        Y0=states.sub_warm_Y.reshape(R * P, -1),
+        L0=L0.reshape(R * P, m2))
+
+    if config.dual_crossover:
+        if config.crossover_dry_limit > 0:
+            live = states.xover_dry < config.crossover_dry_limit   # [R]
+            live_el = jnp.repeat(live, P)
+            # skip the batched active-set solves entirely only when EVERY
+            # replication's gate is dry (replications disagreeing is the
+            # common case, handled by the per-element mask)
+            Pi_sharp, accept = jax.lax.cond(
+                jnp.any(live),
+                lambda _: _sharpen_flat(arrays, H_flat, sub_Y, Pi, live_el),
+                lambda _: (Pi, jnp.zeros((Pi.shape[0],), bool)),
+                None)
+        else:
+            Pi_sharp, accept = _sharpen_flat(arrays, H_flat, sub_Y, Pi,
+                                             None)
+        n_acc = jnp.sum(accept.reshape(R, P), axis=1)              # [R]
+        xover_dry = jnp.where(n_acc > 0, 0, states.xover_dry + 1)
+    else:
+        Pi_sharp = Pi
+        xover_dry = states.xover_dry
+        n_acc = jnp.zeros((R,), jnp.int32)
+
+    # the master drops its cold-retry fallback under vmap: lax.cond lowers
+    # to a select there, so every replication would pay the full second
+    # ADMM loop on every master solve (measured 45% of the replicated
+    # step); the stall caps + sd_step's feasibility guard/repairs remain
+    qp_cfg = _dc.replace(config.qp, warm_retry=False)
+    new_states, stats = jax.vmap(
+        lambda st, k, sto, so, sy, pi, ps, pv, xd, na: _finish(
+            arrays, model, espec, st, config, k, sto, so, sy, pi, ps,
+            pv, xd, na, qp_config=qp_cfg)
+    )(states, key, store, sub_obj.reshape(R, P),
+      sub_Y.reshape(R, P, -1), Pi.reshape(R, P, m2),
+      Pi_sharp.reshape(R, P, m2), sub_stats["pdhg_valid"].reshape(R, P),
+      xover_dry, n_acc)
+
+    for k, v in sub_stats.items():
+        if k in ("pdhg_done", "pdhg_valid", "pdhg_err"):
+            stats[k] = v.reshape(R, P)
+        else:
+            # panel-global scalars (and the [n_phases] ladder trace):
+            # broadcast with a leading R axis so the packed [R]-schema
+            # keeps them and higher-rank entries stay excluded
+            stats[k] = jnp.broadcast_to(v, (R,) + v.shape)
+    return new_states, stats
+
+
 def scalar_stat_keys(arrays: InstanceArrays, model: ScenarioModel,
                      espec: EpigraphSpec, prep_sub: PreparedLP,
                      state: SDState, config: SDConfig,
@@ -471,9 +616,12 @@ def scalar_stat_schema(arrays, model, espec, prep_sub, state, config,
     """((name, dtype), ...) of sd_step's scalar stats in packed-column
     order — dtypes let the driver restore int/bool semantics after the
     float32 packed readback."""
-    f = lambda st: sd_step(arrays, model, espec, prep_sub, st, config)[1]
     if ndim == 1:                     # replication-batched state pytree
-        f = jax.vmap(f)
+        f = lambda st: sd_step_replicated(arrays, model, espec, prep_sub,
+                                          st, config)[1]
+    else:
+        f = lambda st: sd_step(arrays, model, espec, prep_sub, st,
+                               config)[1]
     shapes = jax.eval_shape(f, state)
     return tuple((k, shapes[k].dtype)
                  for k in sorted(shapes) if shapes[k].ndim == ndim)
@@ -536,18 +684,20 @@ def sd_run_replicated(arrays: InstanceArrays, model: ScenarioModel,
     sd/compromise.py, needs R independent runs by construction).
 
     Trajectories are deterministic for fixed (seeds, R) but not bitwise
-    equal to sequential runs: vmapped while_loops step every replication
-    until the slowest one's stopping test, and the best-iterate latches
-    inside the PDHG/QP solvers can only improve with the extra rounds.
+    equal to sequential runs: the replication axis flattens into one
+    shared LP solve (sd_step_replicated), whose per-element restart and
+    compaction decisions see the merged panel, and the R master QPs
+    step in lockstep until the slowest one's stopping test — the
+    best-iterate latches inside the PDHG/QP solvers can only improve
+    with the extra rounds.
 
     Returns (states, acc) with the per-iteration, per-replication scalar
     stats packed as ONE [n_steps, n_keys, R] float32 panel (one transfer
     per chunk, see sd_run; column j = ``scalar_stat_keys(..., ndim=1)[j]``);
     entries past ``n`` are zero.
     """
-    step = jax.vmap(
-        lambda st: sd_step(arrays, model, espec, prep_sub, st, config,
-                           proposal=proposal))
+    step = lambda st: sd_step_replicated(arrays, model, espec, prep_sub,
+                                         st, config, proposal=proposal)
     keys = scalar_stat_keys(arrays, model, espec, prep_sub, states, config,
                             ndim=1)
     R = states.cut_alpha.shape[0]

@@ -97,14 +97,15 @@ def test_replications_evaluate_retry_path():
     inst = load_instance("lands", dtype=jnp.float64)
     x0 = np.array([3.0, 3.0, 3.0, 3.0])
 
-    # valid_tol below the solver's numeric floor: every element fails
-    # certification, forcing the device retry (pool warm start) and then
-    # the exact host fallback for the whole panel
-    cfg = _CFG.replace(pdhg=PDHGConfig(tol=1e-8, max_iters=10_000,
-                                       valid_tol=1e-30))
-    reps = SDReplications(inst, cfg, n_replications=2, x0=x0, seed=1)
+    reps = SDReplications(inst, _CFG, n_replications=2, x0=x0, seed=1)
     reps.run(20)
     assert reps._warmstart_pool() is not None
+    # now tighten valid_tol below the solver's numeric floor: every
+    # evaluation element fails certification, forcing the device retry
+    # (pool warm start off the REPLICATED state) and then the exact host
+    # fallback for the whole panel
+    reps.config = _CFG.replace(pdhg=PDHGConfig(tol=1e-8, max_iters=10_000,
+                                               valid_tol=1e-30))
     x = reps.x_incumbents[0]
     with pytest.warns(UserWarning, match="re-solved exactly on host"):
         ub = reps.evaluate(x=x, n_samples=64, seed=3, batch=64)
