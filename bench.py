@@ -235,6 +235,34 @@ def _bench_sd_gap(inst, config, n_iters: int) -> dict:
             "mc_ub_half_width": round(hw, 4), "rel_gap": round(gap, 5)}
 
 
+def _bench_replications(inst, config, n_reps: int, n_iters: int) -> dict:
+    """R batched SD replications + the compromise decision: wall clock,
+    per-replication lb spread, and the compromise solution's MC cost."""
+    import numpy as np
+
+    from sqlp_tpu.sd.compromise import compromise_decision
+    from sqlp_tpu.sd.driver import SDReplications
+
+    t0 = time.time()
+    s = SDReplications(inst, config, n_replications=n_reps, seed=0)
+    s.run(n_iters)
+    run_wall = time.time() - t0
+    lbs = s.lower_estimates
+    x_comp, info = compromise_decision(inst, s.states, s.especs, rho=1.0,
+                                       qp_config=config.qp,
+                                       obj_scale=s.obj_scale)
+    ub_c, hw_c, _ = s.evaluate_ci(x=x_comp, min_samples=8192,
+                                  max_samples=8192, seed=7,
+                                  sampling="stratified")
+    return {"n_replications": n_reps, "sd_iters": n_iters,
+            "run_wall_s": round(run_wall, 2),
+            "lb_mean": round(float(np.mean(lbs)), 4),
+            "lb_min": round(float(np.min(lbs)), 4),
+            "lb_max": round(float(np.max(lbs)), 4),
+            "compromise_mc_ub": round(ub_c, 4),
+            "compromise_mc_ub_half_width": round(hw_c, 4)}
+
+
 def child(args) -> int:
     if args.platform == "cpu":
         # must run before any backend query: the axon plugin registers via
@@ -288,6 +316,17 @@ def child(args) -> int:
                 storm, storm_cfg, storm_iters)
         except Exception as e:
             out["storm_time_to_gap"] = {"error": f"{type(e).__name__}: {e}"}
+        # replicated SD + compromise decision (Sen & Liu) — the workflow
+        # the reference planned as a plugin and left empty
+        # (src/sd_algorithm/plugin/compromise.jl, 0 bytes). R independent
+        # replications advance in ONE batched device program; the
+        # compromise x aggregates their cut models.
+        try:
+            out["ssn_replications"] = _bench_replications(
+                inst, config, n_reps=8 if on_tpu else 2,
+                n_iters=sd_iters)
+        except Exception as e:
+            out["ssn_replications"] = {"error": f"{type(e).__name__}: {e}"}
     print(json.dumps(out), flush=True)
     return 0
 

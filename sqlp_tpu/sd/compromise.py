@@ -92,10 +92,23 @@ def compromise_decision(inst: Instance, states: Sequence[SDState],
     p_diag, g, A, l, u, is_eq = assemble_master(
         arrays, espec, merged, rho_j)
     z, mu, stats = solve_qp(p_diag, g, A, l, u, is_eq, qp_config)
-    x = np.asarray(z[: inst.n1])
+    # The ADMM exit is feasible only to its tolerance; a compromise x with
+    # an epsilon-negative component makes downstream recourse LPs
+    # INFEASIBLE at exact-solver tolerances (observed on ssn: the MC
+    # evaluator's HiGHS fallback threw on x_comp with a -3e-6 entry).
+    # Clip to the variable box, then project onto the first-stage polytope
+    # when any row is still violated — the same discipline sd_step applies
+    # to every candidate.
+    from sqlp_tpu.models.routines import project_first_stage
+
+    x = np.clip(np.asarray(z[: inst.n1], np.float64),
+                np.asarray(inst.arrays.lb1, np.float64),
+                np.asarray(inst.arrays.ub1, np.float64))
+    x, proj_dist = project_first_stage(inst.arrays, x)
     info = {
         "x_bar": np.asarray(x_bar),
         "incumbents": [np.asarray(s.x_incumbent) for s in states],
+        "projection_distance": proj_dist,
         **{k: np.asarray(v) for k, v in stats.items()},
     }
     return x, info

@@ -371,7 +371,14 @@ class SDSolver:
             lb = np.asarray(a.lb2, np.float64)
             ub = np.asarray(a.ub2, np.float64)
             for b in bad:
-                vals[b], _, _ = solve_lp_host(q, W, Hn[b], s2, lb, ub)
+                try:
+                    vals[b], _, _ = solve_lp_host(q, W, Hn[b], s2, lb, ub)
+                except RuntimeError as e:
+                    raise RuntimeError(
+                        f"recourse LP infeasible/unsolvable at the "
+                        f"evaluated x for scenario row {b} — the evaluated "
+                        f"point is likely outside the induced-feasible "
+                        f"region (is x first-stage feasible?): {e}") from e
             warnings.warn(
                 f"{bad.size}/{len(vals)} recourse LPs missed "
                 f"valid_tol={self.config.pdhg.valid_tol:g} in the MC "

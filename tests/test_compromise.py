@@ -41,8 +41,16 @@ def test_lands_compromise():
         obj, _, _ = solve_problem(inst.sp2, x, [(Position("RHS", "S2C5"), v)])
         cost += p * obj
     assert abs(cost - 381.8533333) < 3.0
-    lb = np.asarray(inst.arrays.lb1)
-    assert np.all(x >= lb - 1e-6)
+    # the compromise x is EXACTLY box-feasible (clipped) and row-feasible
+    # to the projection tolerance — an epsilon-infeasible x makes recourse
+    # LPs infeasible at exact-solver tolerances (regression: ssn x_comp
+    # with a -3e-6 entry crashed the MC evaluator's host fallback)
+    from sqlp_tpu.models.routines import project_first_stage
+    assert np.all(x >= np.asarray(inst.arrays.lb1))
+    assert np.all(x <= np.asarray(inst.arrays.ub1))
+    _, dist = project_first_stage(inst.arrays, x)
+    assert dist == 0.0
+    assert "projection_distance" in info
 
 
 def test_replications_batched_matches_sequential():
