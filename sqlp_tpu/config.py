@@ -131,6 +131,14 @@ class QPConfig:
     # the replicated SD step); the stall caps and sd_step's feasibility
     # guard/repairs backstop the rare trap instead.
     warm_retry: bool = True
+    # ... and only when the warm error is FAR from tolerance: the
+    # observed stale-warm-start trap exits at err ~1e-2, while an f32
+    # master at its numeric floor sits at a few times the clamped
+    # tolerance (storm: 3.8e-4 vs eff_tol 6.1e-5) — there a cold rerun
+    # reaches the same floor, and because every storm master floors, the
+    # unconditional retry doubled the master cost of every SD iteration.
+    # Retry only when err > warm_retry_factor * eff_tol.
+    warm_retry_factor: float = 50.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -391,8 +391,14 @@ def solve_qp(p_diag: jax.Array, g: jax.Array, A: jax.Array,
                     jnp.minimum(errc, err), rounds + rc,
                     jnp.where(better, rhoc, rho_out))
 
+        # Retry only a solve that is FAR from tolerance (the stale-trap
+        # regime, err ~1e-2) — a warm solve at its dtype floor (a few
+        # times eff_tol) gets the same floor from a cold start, and on
+        # instances whose f32 masters always floor (storm) the
+        # unconditional retry doubled every master solve.
+        retry_at = jnp.asarray(config.warm_retry_factor * eff_tol, dtype)
         z, mu, err, rounds, rho_out = jax.lax.cond(
-            err <= eff_tol, lambda _: (z, mu, err, rounds, rho_out),
+            err <= retry_at, lambda _: (z, mu, err, rounds, rho_out),
             _retry, None)
 
     # ---- OSQP-style polish: the ADMM termination test is relative to the
