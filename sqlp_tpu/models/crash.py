@@ -131,10 +131,11 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
     b1f = arrays.b1 * f1
 
     # per-scenario transfer deltas (columns of T): dT[s] has entries
-    # deltas[s,k] at (rv_row[k], rv_col[k]) for non-RHS positions.
+    # deltas[s,k] at (rv_row[k], rv_col[k]) for non-RHS, non-cost positions.
     # (all-zero when randomness is RHS-only, the shipped-instance fast path;
     # the scatter then costs one cheap no-op add)
-    tr_delta = jnp.where(model.rv_is_rhs[None, :], 0.0, deltas)       # [S, R]
+    not_tr = jnp.logical_or(model.rv_is_rhs, model.rv_is_cost)
+    tr_delta = jnp.where(not_tr[None, :], 0.0, deltas)                # [S, R]
     tr_delta = tr_delta * (r2[model.rv_row] * cx[model.rv_col])[None, :]
 
     def T_apply(x):
@@ -180,7 +181,15 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
     lb2 = jnp.where(jnp.isfinite(arrays.lb2), arrays.lb2, -_BIG)
     ub2 = jnp.where(jnp.isfinite(arrays.ub2), arrays.ub2, _BIG)
 
-    qS = probs[:, None] * arrays.q[None, :]                           # [S, n2]
+    # per-scenario objective: random COST deltas (reference TODO 6) patch
+    # q_s = q + scatter(cost deltas); the deltas pick up the objective
+    # normalization (1/obj_s) and the column equilibration (cy) the shared
+    # q went through above
+    cost_delta = jnp.where(model.rv_is_cost[None, :], deltas, 0.0)    # [S, R]
+    cost_delta = cost_delta * (cy[model.rv_ycol] / obj_s)[None, :]
+    q_s = jnp.broadcast_to(arrays.q, (S, n2)).at[:, model.rv_ycol].add(
+        cost_delta)
+    qS = probs[:, None] * q_s                                         # [S, n2]
 
     # PDLP primal-weight initialization (||objective|| / ||rhs||): keeps
     # the primal/dual step balance scale-free — a fixed omega=1 with the

@@ -178,7 +178,11 @@ def load_proposal(inst: Instance, sto_path: str,
             or not np.array_equal(np.asarray(model.rv_is_rhs),
                                   np.asarray(tgt.rv_is_rhs))
             or not np.array_equal(np.asarray(model.rv_col),
-                                  np.asarray(tgt.rv_col))):
+                                  np.asarray(tgt.rv_col))
+            or not np.array_equal(np.asarray(model.rv_is_cost),
+                                  np.asarray(tgt.rv_is_cost))
+            or not np.array_equal(np.asarray(model.rv_ycol),
+                                  np.asarray(tgt.rv_ycol))):
         raise ValueError(
             f"proposal {sto_path} does not cover the same random "
             f"positions as instance {inst.name}'s sto file")

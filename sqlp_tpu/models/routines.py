@@ -213,11 +213,42 @@ def recourse_lower_bound(arrays, scenario_model, normal_sigmas: float = 10.0
                              mean + normal_sigmas * std, left + width))
     base = np.asarray(m.base, c_dt)
     is_rhs = np.asarray(m.rv_is_rhs)
+    is_cost = np.asarray(m.rv_is_cost)
     rv_col = np.asarray(m.rv_col)
     d_lo, d_hi = v_lo - base, v_hi - base            # delta box
     # effective per-row contribution bounds eta_k
     e_lo, e_hi = d_lo.copy(), d_hi.copy()
-    tpos = ~is_rhs
+
+    # Random COST positions (reference TODO 6): q_j y_j with q_j ranging
+    # over [v_lo, v_hi] is lower-bounded by a LINEAR term when the sign of
+    # y_j is fixed by its bounds — q_lo y (y >= 0) / q_hi y (y <= 0); a
+    # sign-spanning y with a finite box contributes the constant corner
+    # minimum instead (its q term drops to 0). These positions carry no
+    # eta variable.
+    const_term = 0.0
+    q = q.copy()
+    if is_cost.any():
+        rv_ycol = np.asarray(m.rv_ycol)
+        for k in np.nonzero(is_cost)[0]:
+            j = int(rv_ycol[k])
+            e_lo[k] = e_hi[k] = 0.0
+            if lb2[j] >= 0.0:
+                q[j] = min(q[j], v_lo[k])
+            elif np.isfinite(ub2[j]) and ub2[j] <= 0.0:
+                q[j] = max(q[j], v_hi[k])            # y <= 0: min is q_hi y
+            elif np.isfinite(lb2[j]) and np.isfinite(ub2[j]):
+                corners = [v_lo[k] * lb2[j], v_lo[k] * ub2[j],
+                           v_hi[k] * lb2[j], v_hi[k] * ub2[j]]
+                const_term += min(corners)
+                q[j] = 0.0
+            else:
+                warnings.warn(
+                    "recourse_lower_bound: random cost on a sign-spanning "
+                    "unbounded column — no finite bound; supply an "
+                    "explicit epigraph lower bound")
+                return float("-inf")
+
+    tpos = ~is_rhs & ~is_cost
     if tpos.any():
         xl, xu = lb1[rv_col[tpos]].copy(), ub1[rv_col[tpos]].copy()
         # When the box on x is infinite, the first-stage POLYTOPE may still
@@ -263,6 +294,7 @@ def recourse_lower_bound(arrays, scenario_model, normal_sigmas: float = 10.0
     R = dist.shape[0]
     S = np.zeros((m2, R))
     S[np.asarray(m.rv_row), np.arange(R)] = 1.0
+    S[:, is_cost] = 0.0        # cost positions patch q, not a row
 
     # stacked LP over z = (x, y, eta)
     A = np.zeros((m1 + m2, n1 + n2 + R))
@@ -293,7 +325,7 @@ def recourse_lower_bound(arrays, scenario_model, normal_sigmas: float = 10.0
                       f"(status {res.status}: {res.message}); supply an "
                       f"explicit epigraph lower bound")
         return float("-inf")
-    return float(res.fun)
+    return float(res.fun) + const_term
 
 
 def evaluate_host(sp1: StageLP, sp2: StageLP, sto: StoData, x: np.ndarray,
@@ -315,7 +347,7 @@ def evaluate_host(sp1: StageLP, sp2: StageLP, sto: StoData, x: np.ndarray,
     return s1_cost + s2_cost
 
 
-def oracle_solve_batch(prep, H, config=None, Y0=None, L0=None):
+def oracle_solve_batch(prep, H, config=None, Y0=None, L0=None, Q=None):
     """Drop-in exact replacement for ``ops.pdhg.solve_batch``.
 
     Solves every RHS panel row with the host HiGHS solver through
@@ -338,7 +370,7 @@ def oracle_solve_batch(prep, H, config=None, Y0=None, L0=None):
     n = prep.n
     dt = prep.K.dtype
 
-    def host(Hn, K, qs, lbs, ubs, is_eq, flip, rs, cs):
+    def host(Hn, Qn, K, qs, lbs, ubs, is_eq, flip, rs, cs):
         # unscale back to the original stage LP (prep leaves arrive as
         # concrete values at callback time, never at trace time)
         Hn = np.asarray(Hn, np.float64)
@@ -349,18 +381,23 @@ def oracle_solve_batch(prep, H, config=None, Y0=None, L0=None):
         ub = np.asarray(ubs, np.float64) * np.asarray(cs)
         senses = np.where(np.asarray(is_eq), SENSE_E,
                           np.where(np.asarray(flip) < 0, SENSE_L, SENSE_G))
+        Qn = None if Qn.shape[-1] == 0 else np.asarray(Qn, np.float64)
         objs = np.zeros(B, np.float64)
         Y = np.zeros((B, n), np.float64)
         Pi = np.zeros((B, m), np.float64)
         for b in range(B):
-            objs[b], Y[b], Pi[b] = solve_lp_host(q, W, Hn[b], senses, lb, ub)
+            objs[b], Y[b], Pi[b] = solve_lp_host(
+                q if Qn is None else Qn[b], W, Hn[b], senses, lb, ub)
         return (objs.astype(dt), Y.astype(dt), Pi.astype(dt))
 
     out_shapes = (jax.ShapeDtypeStruct((B,), dt),
                   jax.ShapeDtypeStruct((B, n), dt),
                   jax.ShapeDtypeStruct((B, m), dt))
+    # Q (per-element objective, random-cost instances) rides through as a
+    # [B, 0] sentinel when absent — pure_callback args must be arrays
+    Qc = jnp.zeros((B, 0), dt) if Q is None else Q.astype(dt)
     obj, Y, Pi = jax.pure_callback(
-        host, out_shapes, H, prep.K, prep.q, prep.lb, prep.ub,
+        host, out_shapes, H, Qc, prep.K, prep.q, prep.lb, prep.ub,
         prep.is_eq, prep.flip, prep.row_scale, prep.col_scale)
 
     zero_i = jnp.zeros((), jnp.int32)

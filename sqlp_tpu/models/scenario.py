@@ -15,6 +15,17 @@ file) carries:
     panel — R is the number of random positions, <= 117 on all shipped
     instances).
 
+Positions addressing the cor OBJECTIVE row are random COST coefficients
+(``rv_is_cost[k]``, current-stage column ``rv_ycol[k]``) — the feature the
+reference leaves open as TODO 6 ("Allow randomness in cost coefficients q",
+readme.md:25-26). Random q never changes the dual objective pi'(r - Tx); it
+only restricts dual feasibility to {pi : W'pi <= q_s}, so the SASA cut math
+is unchanged except that the argmax over the dual pool must mask
+inadmissible (dual-infeasible-for-that-scenario) vertices — see
+sd/cuts.py. ``seed_dual`` is a dual vector feasible for EVERY scenario
+(computed against the elementwise support-minimum cost q_min), guaranteeing
+the masked argmax always has one admissible candidate.
+
 Sampling is inverse-CDF over padded discrete tables, or affine transforms of
 normal/uniform draws, fully vmapped: one ``sample_deltas`` call produces a
 [B, R] batch.
@@ -57,6 +68,21 @@ class ScenarioModel:
     std: jax.Array           # [R]
     left: jax.Array          # [R]
     width: jax.Array         # [R]
+    # random COST positions (reference TODO 6): position k patches the
+    # stage-2 objective coefficient of column rv_ycol[k]
+    rv_is_cost: jax.Array = None   # [R] bool
+    rv_ycol: jax.Array = None      # [R] int32 (0 where not cost)
+    # a dual vector feasible for every scenario's {pi : W'pi <= q_s}
+    # (zeros when the instance has no cost randomness or none was found)
+    seed_dual: jax.Array = None    # [m2]
+    # static metadata: compile-time branch flags + the cost-position
+    # indices as Python ints (the admissibility mask unrolls over them)
+    has_cost: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+    seed_valid: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+    cost_idx: tuple = dataclasses.field(       # ((position k, ycol j), ...)
+        default=(), metadata=dict(static=True))
 
     @property
     def n_rv(self) -> int:
@@ -70,6 +96,7 @@ def build_scenario_model(sto: StoData, sp2: StageLP,
     R = len(positions)
     row_lookup = sp2.row_lookup
     col_lookup = sp2.col_lookup
+    cur_lookup = sp2.cur_lookup
 
     v_max = 1
     for d in sto.indep.values():
@@ -79,6 +106,8 @@ def build_scenario_model(sto: StoData, sp2: StageLP,
     rv_row = np.zeros(R, np.int32)
     rv_is_rhs = np.zeros(R, bool)
     rv_col = np.zeros(R, np.int32)
+    rv_is_cost = np.zeros(R, bool)
+    rv_ycol = np.zeros(R, np.int32)
     base = np.zeros(R, np.float64)
     dist_type = np.zeros(R, np.int32)
     values = np.zeros((R, v_max), np.float64)
@@ -89,19 +118,28 @@ def build_scenario_model(sto: StoData, sp2: StageLP,
     width = np.zeros(R, np.float64)
 
     for k, pos in enumerate(positions):
-        assert pos.row_name in row_lookup, (
-            f"Random position row {pos.row_name} not in stage-2 template")
-        i = row_lookup[pos.row_name]
-        rv_row[k] = i
-        if pos.col_name in ("RHS", "rhs"):
-            rv_is_rhs[k] = True
-            base[k] = sp2.rhs[i]
+        if pos.row_name == sp2.obj_row_name and sp2.obj_row_name:
+            # random cost coefficient (reference TODO 6, readme.md:25-26)
+            assert pos.col_name in cur_lookup, (
+                f"Cost position col {pos.col_name} not a stage-2 var")
+            j = cur_lookup[pos.col_name]
+            rv_is_cost[k] = True
+            rv_ycol[k] = j
+            base[k] = sp2.c[j]
         else:
-            assert pos.col_name in col_lookup, (
-                f"Random position col {pos.col_name} not a last-stage var")
-            j = col_lookup[pos.col_name]
-            rv_col[k] = j
-            base[k] = sp2.T[i, j]
+            assert pos.row_name in row_lookup, (
+                f"Random position row {pos.row_name} not in stage-2 template")
+            i = row_lookup[pos.row_name]
+            rv_row[k] = i
+            if pos.col_name in ("RHS", "rhs"):
+                rv_is_rhs[k] = True
+                base[k] = sp2.rhs[i]
+            else:
+                assert pos.col_name in col_lookup, (
+                    f"Random position col {pos.col_name} not a last-stage var")
+                j = col_lookup[pos.col_name]
+                rv_col[k] = j
+                base[k] = sp2.T[i, j]
 
         d = sto.indep[pos]
         if isinstance(d, DiscreteDistribution):
@@ -125,6 +163,14 @@ def build_scenario_model(sto: StoData, sp2: StageLP,
         else:
             raise TypeError(f"Unknown distribution {type(d)}")
 
+    has_cost = bool(rv_is_cost.any())
+    m2 = sp2.n_rows
+    seed_dual = np.zeros(m2, np.float64)
+    seed_valid = False
+    if has_cost:
+        seed_dual, seed_valid = _compute_seed_dual(
+            sp2, rv_is_cost, rv_ycol, dist_type, values, mean, std, left)
+
     f = lambda a: jnp.asarray(a, dtype=dtype)
     return ScenarioModel(
         rv_row=jnp.asarray(rv_row), rv_is_rhs=jnp.asarray(rv_is_rhs),
@@ -132,7 +178,72 @@ def build_scenario_model(sto: StoData, sp2: StageLP,
         dist_type=jnp.asarray(dist_type),
         values=f(values), cdf=f(cdf), mean=f(mean), std=f(std),
         left=f(left), width=f(width),
+        rv_is_cost=jnp.asarray(rv_is_cost), rv_ycol=jnp.asarray(rv_ycol),
+        seed_dual=f(seed_dual),
+        has_cost=has_cost, seed_valid=seed_valid,
+        cost_idx=tuple((int(k), int(rv_ycol[k]))
+                       for k in np.flatnonzero(rv_is_cost)),
     )
+
+
+def _compute_seed_dual(sp2: StageLP, rv_is_cost, rv_ycol, dist_type,
+                       values, mean, std, left,
+                       normal_sigmas: float = 10.0):
+    """A dual vector feasible for EVERY scenario's dual polytope.
+
+    With random cost the dual feasible set {pi : W'pi <= q_s} varies per
+    scenario; a pool vertex collected under one scenario's q may be
+    infeasible (hence cut-invalid) for another. Any pi with
+    W'pi <= q_min — q_min the elementwise support-minimum cost — is
+    feasible for ALL scenarios, so seeding the argmax with one such vector
+    guarantees every scenario has at least one admissible dual
+    (sd/cuts.py masks the rest). One host LP, solved once at compile:
+
+        max r'pi  s.t.  W'pi <= q_min,  pi_i >= 0 ('>=' rows),
+                        pi_i <= 0 ('<=' rows), free ('==' rows).
+
+    NORMAL cost positions have unbounded support; their q_min is taken at
+    mean - normal_sigmas*sigma (the device sampler is inverse-CDF f32, so
+    draws beyond ~6 sigma cannot occur — same convention as
+    routines.recourse_lower_bound). Returns (pi, valid); an infeasible LP
+    (recourse unbounded under q_min) returns valid=False with a warning —
+    SD then refuses to run (driver), EF/evaluate still work.
+    """
+    import warnings
+
+    import scipy.optimize
+
+    q_min = np.asarray(sp2.c, np.float64).copy()
+    for k in np.flatnonzero(rv_is_cost):
+        j = int(rv_ycol[k])
+        if dist_type[k] == DIST_DISCRETE:
+            lo = float(values[k].min())
+        elif dist_type[k] == DIST_NORMAL:
+            lo = float(mean[k] - normal_sigmas * std[k])
+        else:
+            lo = float(left[k])
+        q_min[j] = min(q_min[j], lo)
+
+    W = np.asarray(sp2.W, np.float64)
+    r = np.asarray(sp2.rhs, np.float64)
+    senses = np.asarray(sp2.senses)
+    from sqlp_tpu.models.stage import SENSE_G, SENSE_L
+    bounds = [(0.0, None) if s == SENSE_G else
+              (None, 0.0) if s == SENSE_L else (None, None)
+              for s in senses]
+    for c_obj in (-r, np.zeros_like(r)):  # maximize r'pi; fallback: feasibility
+        res = scipy.optimize.linprog(c_obj, A_ub=W.T, b_ub=q_min,
+                                     bounds=bounds, method="highs")
+        if res.status == 0:
+            return np.asarray(res.x, np.float64), True
+        if res.status != 3:    # not unbounded -> infeasible/failed
+            break
+    warnings.warn(
+        "no universally feasible dual exists for the random-cost support "
+        "(recourse unbounded at the support-minimum cost q_min); SD cut "
+        "generation cannot be certified — use the extensive-form solver "
+        "or tighten the cost distribution's support")
+    return np.zeros(len(r), np.float64), False
 
 
 def _uniform_panel(key: jax.Array, batch: int, R: int, dt,
@@ -293,9 +404,25 @@ def effective_rhs_deltas(model: ScenarioModel, deltas: jax.Array,
 
     For RHS positions the contribution is the delta itself; for transfer
     positions T[i,j] += d means the row-i RHS of (r - T x) changes by
-    -d * x[j]. Returns [..., R]; scattering by ``rv_row`` then gives the
-    dense change of h = r - T x. This is how scenario randomness enters the
-    argmax scores and the subproblem RHS uniformly (cf. ``eval_dual``,
-    src/sd_algorithm/subprob.jl:128-131).
+    -d * x[j]. Cost positions contribute nothing here (q enters the
+    subproblem objective, see ``cost_panel``). Returns [..., R]; scattering
+    by ``rv_row`` then gives the dense change of h = r - T x. This is how
+    scenario randomness enters the argmax scores and the subproblem RHS
+    uniformly (cf. ``eval_dual``, src/sd_algorithm/subprob.jl:128-131).
     """
-    return jnp.where(model.rv_is_rhs, deltas, -deltas * x[..., model.rv_col])
+    tr = -deltas * x[..., model.rv_col]
+    if model.has_cost:
+        tr = jnp.where(model.rv_is_cost, 0.0, tr)
+    return jnp.where(model.rv_is_rhs, deltas, tr)
+
+
+def cost_panel(model: ScenarioModel, deltas: jax.Array,
+               q: jax.Array) -> jax.Array:
+    """Per-scenario stage-2 objective q_s = q + scatter(cost deltas).
+
+    deltas: [..., R] raw deltas -> [..., n2]. Only meaningful when
+    ``model.has_cost``; RHS/transfer positions contribute nothing.
+    """
+    d = jnp.where(model.rv_is_cost, deltas, 0.0).astype(q.dtype)
+    out = jnp.broadcast_to(q, deltas.shape[:-1] + q.shape)
+    return out.at[..., model.rv_ycol].add(d)

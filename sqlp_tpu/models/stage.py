@@ -56,6 +56,11 @@ class StageLP:
     # bounds on last-stage vars (copied from cor; used by the extensive form)
     last_lb: np.ndarray        # [n_last]
     last_ub: np.ndarray        # [n_last]
+    # name of the cor objective row (row 0, direction 'N'): scenario
+    # positions addressing it are random COST coefficients — the feature
+    # the reference scopes out as TODO 6 ("Allow randomness in cost
+    # coefficients q", readme.md:25-26)
+    obj_row_name: str = ""
 
     @property
     def n_cur(self) -> int:
@@ -91,6 +96,7 @@ class StageLP:
             rhs=self.rhs.copy(), senses=self.senses.copy(),
             lb=self.lb.copy(), ub=self.ub.copy(),
             last_lb=self.last_lb.copy(), last_ub=self.last_ub.copy(),
+            obj_row_name=self.obj_row_name,
         )
 
 
@@ -149,16 +155,20 @@ def get_smps_stage_template(cor: CorData, tim: TimData, stage: int) -> StageLP:
         ub=cor.upper_bound[cur_start_col:end_col].copy(),
         last_lb=cor.lower_bound[start_col:cur_start_col].copy(),
         last_ub=cor.upper_bound[start_col:cur_start_col].copy(),
+        obj_row_name=cor.row_names[0],
     )
 
 
 def instantiate(sp: StageLP, scenario: Scenario, inplace: bool = False) -> StageLP:
     """Write scenario values into the stage LP (smps_routines.jl:7-20).
 
-    ``col_name == "RHS"`` (or "rhs") patches the right-hand side; any other
-    column name patches the transfer-matrix coefficient (randomness in W is
-    not a feature of the reference either — scenario columns always name
-    last-stage vars, see src/sd_algorithm/subprob.jl:81-87).
+    ``col_name == "RHS"`` (or "rhs") patches the right-hand side; a position
+    addressing the objective row patches the stage objective coefficient of
+    a current-stage variable (random COST, the reference's open TODO 6,
+    readme.md:25-26); any other column name patches the transfer-matrix
+    coefficient (randomness in W is not a feature of the reference either —
+    scenario columns always name last-stage vars, see
+    src/sd_algorithm/subprob.jl:81-87).
 
     Raises AssertionError if a named row/column is not in this stage, same
     as the reference.
@@ -166,7 +176,13 @@ def instantiate(sp: StageLP, scenario: Scenario, inplace: bool = False) -> Stage
     out = sp if inplace else sp.copy()
     row_lookup = out.row_lookup
     col_lookup = out.col_lookup
+    cur_lookup = out.cur_lookup
     for pos, val in scenario:
+        if pos.row_name == out.obj_row_name and out.obj_row_name:
+            assert pos.col_name in cur_lookup, (
+                f"Cost position {pos.col_name} not a current-stage var.")
+            out.c[cur_lookup[pos.col_name]] = val
+            continue
         assert pos.row_name in row_lookup, (
             f"Constraint {pos.row_name} not in this stage problem.")
         i = row_lookup[pos.row_name]

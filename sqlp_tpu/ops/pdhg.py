@@ -149,28 +149,37 @@ def _project_dual(lam: jax.Array, is_eq: jax.Array) -> jax.Array:
     return jnp.where(is_eq[None, :], lam, jnp.maximum(lam, 0.0))
 
 
-def _kkt_residuals(lp: PreparedLP, ht: jax.Array, Y: jax.Array, L: jax.Array):
+def _kkt_residuals(lp: PreparedLP, ht: jax.Array, Y: jax.Array, L: jax.Array,
+                   Qs: Optional[jax.Array] = None):
     """Relative primal/dual/gap residuals of a batch of iterates.
 
-    ht: [B, m] scaled rhs; Y: [B, n]; L: [B, m].
+    ht: [B, m] scaled rhs; Y: [B, n]; L: [B, m]; Qs: optional [B, n]
+    per-element scaled objective (random-cost instances) instead of the
+    shared lp.q.
     Returns (err, pobj) where err is the max of the three relative
     residuals per batch element.
     """
+    qm = lp.q[None, :] if Qs is None else Qs
     KY = _dot(Y, lp.K.T)                  # [B, m]
     slack = ht - KY
     pviol = jnp.where(lp.is_eq[None, :], jnp.abs(slack), jnp.maximum(slack, 0.0))
     pres = jnp.linalg.norm(pviol, axis=-1) / (1.0 + jnp.linalg.norm(ht, axis=-1))
 
-    g = lp.q[None, :] - _dot(L, lp.K)     # [B, n] reduced costs
+    g = qm - _dot(L, lp.K)                # [B, n] reduced costs
     # Bound multipliers absorb any sign of g at finite bounds; violation
     # only where the corresponding bound is infinite.
     lo_inf = ~jnp.isfinite(lp.lb)
     hi_inf = ~jnp.isfinite(lp.ub)
     dviol = (jnp.where(hi_inf[None, :], jnp.maximum(-g, 0.0), 0.0)
              + jnp.where(lo_inf[None, :], jnp.maximum(g, 0.0), 0.0))
-    dres = jnp.linalg.norm(dviol, axis=-1) / (1.0 + jnp.linalg.norm(lp.q))
+    qn = jnp.linalg.norm(lp.q) if Qs is None \
+        else jnp.linalg.norm(Qs, axis=-1)
+    dres = jnp.linalg.norm(dviol, axis=-1) / (1.0 + qn)
 
-    pobj = _dot(Y, lp.q)                  # [B]
+    # shared-q path keeps the original matmul so trajectories stay
+    # bitwise identical to the pre-random-cost kernel
+    pobj = _dot(Y, lp.q) if Qs is None \
+        else jnp.sum(Y * Qs, axis=-1)     # [B]
     gpos = jnp.maximum(g, 0.0)
     gneg = jnp.maximum(-g, 0.0)
     lb_term = jnp.where(lo_inf, 0.0, jnp.where(jnp.isfinite(lp.lb), lp.lb, 0.0))
@@ -187,7 +196,8 @@ def _kkt_residuals(lp: PreparedLP, ht: jax.Array, Y: jax.Array, L: jax.Array):
 
 @partial(jax.jit, static_argnames=("config",))
 def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
-                Y0: Optional[jax.Array] = None, L0: Optional[jax.Array] = None
+                Y0: Optional[jax.Array] = None, L0: Optional[jax.Array] = None,
+                Q: Optional[jax.Array] = None
                 ) -> Tuple[jax.Array, jax.Array, jax.Array, dict]:
     """Solve the LP for a panel of right-hand sides.
 
@@ -198,6 +208,10 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
       Y0, L0: optional warm starts in ORIGINAL units (e.g. the previous SD
         iteration's subproblem solutions — x moves slowly under the prox
         term, so the old optimum is a near-feasible start).
+      Q: optional [B, n] PER-ELEMENT objective in original units —
+        random-cost instances (reference TODO 6), where every scenario LP
+        carries its own q_s. Overrides lp.q; runs the XLA recursion (the
+        Pallas kernels keep the shared-q fast path).
 
     Returns:
       (obj [B], Y [B, n], Pi [B, m], stats) — Pi in the JuMP d(obj)/d(rhs)
@@ -209,6 +223,8 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
     # under an x64-enabled runtime callers easily produce f64 panels
     # (e.g. jnp.zeros defaults to f64); the kernel dtype is lp's
     H = H.astype(dtype)
+    if Q is not None:
+        Q = Q.astype(dtype)
 
     # The fused Pallas round keeps K and the block iterates VMEM-resident
     # across iterations (the XLA loop streams the panels through HBM every
@@ -221,6 +237,7 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
     # where the VMEM-resident round is ~4x faster than the XLA loop
     # (padding 2 -> 128 instead was measured SLOWER: 89 vs 102 it/s).
     use_pallas = (bool(config.use_pallas)
+                  and Q is None
                   and jax.default_backend() == "tpu")
     if use_pallas:
         from sqlp_tpu.ops.pallas.pdhg_kernel import (
@@ -263,6 +280,8 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
             the raw carry z is unprojected, only T(z) is feasible.
         """
         Y, L, ht, omega = el["Y"], el["L"], el["ht"], el["omega"]
+        # per-element scaled objective (random cost) or the shared one
+        qrow = el["Q"] if "Q" in el else lp.q[None, :]
         tau = (eta / omega)[:, None]
         sig = (eta * omega)[:, None]
 
@@ -277,7 +296,7 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
 
             def body(t, carry):
                 Y, L, _, _ = carry
-                G = lp.q[None, :] - _dot(L, lp.K)
+                G = qrow - _dot(L, lp.K)
                 Y1 = jnp.clip(Y - tau * G, lb, ub)
                 Yb = 2.0 * Y1 - Y
                 S = ht - _dot(Yb, lp.K.T)
@@ -301,7 +320,7 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
 
         def body(_, carry):
             Y, L, Ys, Ls, cnt = carry
-            G = lp.q[None, :] - _dot(L, lp.K)            # [B, n]
+            G = qrow - _dot(L, lp.K)                     # [B, n]
             Y1 = jnp.clip(Y - tau * G, lb, ub)
             S = ht - _dot(2.0 * Y1 - Y, lp.K.T)          # [B, m]
             L1 = _project_dual(L + sig * S, lp.is_eq)
@@ -314,11 +333,12 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
     def round_step(el, pallas_ok):
         """One restart round on a dict of per-element state."""
         Ycarry, Lcarry, cands = pd_round(el, pallas_ok)
+        Qs = el.get("Q")
 
         Yc, Lc = cands[0]
-        err, _ = _kkt_residuals(lp, el["ht"], Yc, Lc)
+        err, _ = _kkt_residuals(lp, el["ht"], Yc, Lc, Qs)
         for Yo, Lo in cands[1:]:
-            err_o, _ = _kkt_residuals(lp, el["ht"], Yo, Lo)
+            err_o, _ = _kkt_residuals(lp, el["ht"], Yo, Lo, Qs)
             use_o = err_o < err                          # [B]
             Yc = jnp.where(use_o[:, None], Yo, Yc)
             Lc = jnp.where(use_o[:, None], Lo, Lc)
@@ -390,7 +410,9 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
     # normalized objective q/s with omega=1 was observed to stall PDHG on
     # storm at err~1e-1; the fixed [1e-4,1e4] clip around 1.0 could not
     # reach the required balance).
-    qn = jnp.linalg.norm(lp.q)
+    Qs = None if Q is None else Q * lp.col_scale[None, :]
+    qn = jnp.linalg.norm(lp.q) if Qs is None \
+        else jnp.linalg.norm(Qs, axis=-1)
     hn = jnp.linalg.norm(ht, axis=-1)
     omega_init = jnp.where(jnp.logical_and(qn > 1e-30, hn > 1e-30),
                            qn / jnp.maximum(hn, 1e-30),
@@ -403,6 +425,9 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
         err_r=err0, err_last=err0, err_best=err0,
         done=jnp.zeros((B,), bool), stall=jnp.zeros((B,), jnp.int32),
         orig=jnp.arange(B, dtype=jnp.int32))
+    if Qs is not None:
+        # travels through the compaction ladder with its element
+        el["Q"] = Qs
     if config.scheme == "halpern":
         el.update(kh=jnp.zeros((B,), dtype), Yanc=Yi, Lanc=Li)
 
@@ -462,7 +487,8 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
     omega = el["omega"]
     Y_out = Yb * lp.col_scale[None, :]
     Pi_out = Lb * (lp.row_scale * lp.flip)[None, :]
-    obj = _dot(Y_out, lp.q / lp.col_scale)
+    obj = _dot(Y_out, lp.q / lp.col_scale) if Q is None \
+        else jnp.sum(Y_out * Q, axis=-1)
 
     stats = {
         "pdhg_rounds": rounds,

@@ -102,10 +102,11 @@ def _sample_and_rhs(arrays: InstanceArrays, model: ScenarioModel,
     """Steps 1-2a of the SD iteration: sample/append scenarios and build
     the [2EB, m2] subproblem RHS panel plus the pool dual warm start.
 
-    Returns (key', store, H, L0) where ``store`` carries the updated
-    scenario-store fields. Split out of sd_step so the replicated step can
-    vmap this phase while flattening the LP solves (see
-    sd_step_replicated).
+    Returns (key', store, H, L0, Q) where ``store`` carries the updated
+    scenario-store fields and ``Q`` is the per-element [2EB, n2] cost
+    panel on random-cost instances (None otherwise). Split out of sd_step
+    so the replicated step can vmap this phase while flattening the LP
+    solves (see sd_step_replicated).
     """
     E = espec.n_epi
     B = config.scenarios_per_iter
@@ -184,6 +185,15 @@ def _sample_and_rhs(arrays: InstanceArrays, model: ScenarioModel,
     # per-epigraph cand-then-inc sequence (algorithm.jl:49-54).
     H = jnp.stack([h_cand.reshape(E, B, m2), h_inc.reshape(E, B, m2)],
                   axis=1).reshape(2 * E * B, m2)
+    if model.has_cost:
+        # per-scenario objective q_s (reference TODO 6); same scenarios at
+        # both evaluation points, tiled in the H panel's order
+        from sqlp_tpu.models.scenario import cost_panel
+        n2 = arrays.q.shape[0]
+        Qc = cost_panel(model, flat_deltas, arrays.q).reshape(E, B, n2)
+        Q = jnp.stack([Qc, Qc], axis=1).reshape(2 * E * B, n2)
+    else:
+        Q = None
     if config.pool_dual_warm_start:
         # dual warm start from the pool: the argmax vertex for each RHS
         # (same [D, m2] x [m2, P] shape family as the cut-build scoring,
@@ -207,7 +217,7 @@ def _sample_and_rhs(arrays: InstanceArrays, model: ScenarioModel,
     store = dict(scen_deltas=scen_deltas, scen_weights=scen_weights,
                  n_scen=n_scen, n_stream=n_stream,
                  total_weight=total_weight, overflow=overflow)
-    return key, store, H, L0
+    return key, store, H, L0, Q
 
 
 def _sharpen_flat(arrays: InstanceArrays, H: jax.Array, sub_Y: jax.Array,
@@ -478,14 +488,14 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
     p_model / p_proposal — no per-iteration host round trip, so IS runs
     at full chunked speed. Mutually exclusive with explicit deltas.
     """
-    key, store, H, L0 = _sample_and_rhs(arrays, model, espec, state, config,
-                                        deltas, weights, proposal)
+    key, store, H, L0, Q = _sample_and_rhs(arrays, model, espec, state,
+                                           config, deltas, weights, proposal)
 
     # ---- 2+3. batched subproblem solves at candidate AND incumbent
     sub_obj, sub_Y, Pi, sub_stats = solve_batch(
-        prep_sub, H, config.pdhg, Y0=state.sub_warm_Y, L0=L0)
+        prep_sub, H, config.pdhg, Y0=state.sub_warm_Y, L0=L0, Q=Q)
 
-    if config.dual_crossover:
+    if config.dual_crossover and not model.has_cost:
         # round interior-ish first-order duals to basic vertices (cut
         # sharpness parity with the reference's simplex duals); rejected
         # elements keep their PDHG dual. Adaptive gate: once the
@@ -543,7 +553,7 @@ def sd_step_replicated(arrays: InstanceArrays, model: ScenarioModel,
     R = states.cut_alpha.shape[0]
     m2 = arrays.r.shape[0]
 
-    key, store, H, L0 = jax.vmap(
+    key, store, H, L0, Q = jax.vmap(
         lambda st: _sample_and_rhs(arrays, model, espec, st, config,
                                    None, None, proposal))(states)
     P = H.shape[1]                                      # 2*E*B per rep
@@ -551,9 +561,10 @@ def sd_step_replicated(arrays: InstanceArrays, model: ScenarioModel,
     sub_obj, sub_Y, Pi, sub_stats = solve_batch(
         prep_sub, H_flat, config.pdhg,
         Y0=states.sub_warm_Y.reshape(R * P, -1),
-        L0=L0.reshape(R * P, m2))
+        L0=L0.reshape(R * P, m2),
+        Q=None if Q is None else Q.reshape(R * P, -1))
 
-    if config.dual_crossover:
+    if config.dual_crossover and not model.has_cost:
         if config.crossover_dry_limit > 0:
             live = states.xover_dry < config.crossover_dry_limit   # [R]
             live_el = jnp.repeat(live, P)

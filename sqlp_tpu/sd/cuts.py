@@ -93,10 +93,42 @@ def build_sasa_cut(arrays: InstanceArrays, model: ScenarioModel,
     With ``with_counts`` also returns the per-vertex argmax win mass
     counts[d] = sum of p_s over scenarios whose argmax is vertex d — the
     usage signal for the dual pool's eviction policy (dual_pool.py).
+
+    Random-cost instances (``model.has_cost``; reference TODO 6): the dual
+    objective pi'(r_s - T_s x) never involves q, so the cut assembly is
+    unchanged — but a pool vertex is only a VALID lower bound for scenario
+    s if it is dual-feasible there, i.e. (W'pi)_j <= q_s[j] at the random
+    cost columns (elsewhere q is shared and every pool dual is
+    epsilon-feasible by construction). The argmax therefore masks
+    inadmissible (dual, scenario) pairs; ``model.seed_dual`` — feasible
+    for every scenario by construction (scenario.py:_compute_seed_dual) —
+    rides along as a virtual pool row so the masked argmax always has a
+    candidate.
     """
     eff = effective_rhs_deltas(model, scen_deltas, x)       # [S, R]
     base = arrays.r - _dot(arrays.T, x)                     # [m2]
-    _, best = argmax_duals(duals, n_duals, base, model.rv_row, eff)
+    if model.has_cost:
+        duals = jnp.concatenate(
+            [duals, model.seed_dual[None, :].astype(duals.dtype)], axis=0)
+        D = duals.shape[0]
+        base_scores = _dot(duals, base)                     # [D+1]
+        delta_scores = _dot(duals[:, model.rv_row], eff.T)  # [D+1, S]
+        scores = base_scores[:, None] + delta_scores
+        live = jnp.concatenate(
+            [jnp.arange(D - 1) < n_duals, jnp.ones((1,), bool)])
+        scores = jnp.where(live[:, None], scores, -jnp.inf)
+        # admissibility mask, unrolled over the (few) cost positions:
+        # slack_d = (W'pi_d)_j - q_template_j must stay <= dq_s within a
+        # relative tolerance (pool duals are epsilon-feasible to begin
+        # with — PDHG valid_tol — so the mask uses the same order)
+        for k, j in model.cost_idx:
+            slack = _dot(duals, arrays.W[:, j]) - model.base[k]   # [D+1]
+            tol_k = 1e-4 * (1.0 + jnp.abs(model.base[k]))
+            viol = slack[:, None] > scen_deltas[:, k][None, :] + tol_k
+            scores = jnp.where(viol, -jnp.inf, scores)
+        best = jnp.argmax(scores, axis=0)                   # [S]
+    else:
+        _, best = argmax_duals(duals, n_duals, base, model.rv_row, eff)
 
     wsum = jnp.sum(scen_weights)
     p = scen_weights / jnp.maximum(wsum, 1e-30)             # [S]
@@ -114,15 +146,20 @@ def build_sasa_cut(arrays: InstanceArrays, model: ScenarioModel,
     alpha = (_dot(counts, _dot(duals, arrays.r))
              + jnp.sum(p * jnp.sum(rhs_delta * pi_at_rows, axis=1)))
 
-    # beta: -T' (sum_s p_s pi_s) plus transfer-delta corrections.
+    # beta: -T' (sum_s p_s pi_s) plus transfer-delta corrections (cost
+    # positions patch q, not T — they contribute to neither alpha nor beta;
+    # q never appears in the dual objective)
     pi_bar = _dot(counts, duals)                            # [m2]
     beta = -_dot(arrays.T.T, pi_bar)                        # [n1]
-    tr_contrib = jnp.where(model.rv_is_rhs[None, :], 0.0,
+    not_tr = jnp.logical_or(model.rv_is_rhs, model.rv_is_cost) \
+        if model.has_cost else model.rv_is_rhs
+    tr_contrib = jnp.where(not_tr[None, :], 0.0,
                            p[:, None] * scen_deltas * pi_at_rows)  # [S, R]
     beta = beta.at[model.rv_col].add(-jnp.sum(tr_contrib, axis=0))
     cut = Cut(alpha=alpha, beta=beta)
     if with_counts:
-        return cut, counts
+        # eviction scores cover pool slots only — drop the virtual seed row
+        return cut, (counts[:-1] if model.has_cost else counts)
     return cut
 
 

@@ -61,6 +61,30 @@ class SDSolver:
         (sqlp_tpu.parallel.distributed) before constructing the solver."""
         configure_jax()
         self.inst = inst
+        if inst.scenario_model.has_cost:
+            # Random-cost instances (reference TODO 6): cut validity rests
+            # on the universally feasible seed dual; without one SD cannot
+            # certify its cuts (scenario._compute_seed_dual's warning).
+            if not inst.scenario_model.seed_valid:
+                raise ValueError(
+                    f"instance {inst.name} has random cost coefficients "
+                    f"with no universally feasible dual (unbounded support "
+                    f"or unbounded recourse at the support-minimum cost); "
+                    f"SD cut generation cannot be certified — use the "
+                    f"extensive-form solver (cli: ef) instead")
+            if config.dual_crossover:
+                # the batched active-set crossover restores vertices of the
+                # SHARED dual polytope; with per-scenario q it would need a
+                # per-element feasibility system — skipped (sd_step gates
+                # it off statically; mirror that in config so the stats
+                # schema stays consistent)
+                config = config.replace(dual_crossover=False)
+            if config.normalize_objective:
+                # objective normalization divides q by a scale, but the
+                # scenario model's cost VALUES are in original units — a
+                # scaled template plus unscaled deltas would corrupt every
+                # q_s. Cost-random instances run unnormalized.
+                config = config.replace(normalize_objective=False)
         # Valid per-scenario recourse lower bound (the reference takes this
         # as a trusted user constant; an invalid one silently corrupts every
         # decayed cut — see recourse_lower_bound's docstring).
@@ -302,8 +326,11 @@ class SDSolver:
             return None
         return np.asarray(to_host(self.state.duals)[:n_duals], np.float64)
 
-    def _recourse_objs(self, H) -> np.ndarray:
+    def _recourse_objs(self, H, Q=None) -> np.ndarray:
         """Recourse objectives for an RHS panel, certified per element.
+        ``Q`` ([B, n2], optional): per-scenario objectives on random-cost
+        instances — threaded through the device solve, the device retry,
+        and the exact host fallback.
 
         The SD step gates dual-pool admission on ``pdhg_valid``; the MC
         estimators must apply the same standard (ADVICE r1: silently
@@ -316,6 +343,7 @@ class SDSolver:
         from sqlp_tpu.models.routines import solve_lp_host
 
         B = H.shape[0]
+        Qn = None if Q is None else np.asarray(Q, np.float64)
         if self.mesh is not None:
             # shard the panel over the mesh batch axis (SURVEY §5.7: MC
             # evaluation is one of the two sharded parallel axes); pad to
@@ -326,15 +354,20 @@ class SDSolver:
             if pad:
                 H = jnp.concatenate(
                     [H, jnp.broadcast_to(H[:1], (pad,) + H.shape[1:])])
+                if Q is not None:
+                    Q = jnp.concatenate(
+                        [Q, jnp.broadcast_to(Q[:1], (pad,) + Q.shape[1:])])
             H = place_batch(np.asarray(H), self.mesh)
+            if Q is not None:
+                Q = place_batch(np.asarray(Q), self.mesh)
             obj, _, _, stats = solve_batch(self.prep_sub, H,
-                                           self.config.pdhg)
+                                           self.config.pdhg, Q=Q)
             vals = to_host(obj).astype(np.float64)[:B]
             valid = to_host(stats["pdhg_valid"])[:B]
         else:
             Hn_host = None
             obj, _, _, stats = solve_batch(self.prep_sub, H,
-                                           self.config.pdhg)
+                                           self.config.pdhg, Q=Q)
             # np.array (copy): with matching dtypes np.asarray returns a
             # READ-ONLY zero-copy view of the device buffer, and the
             # retry/fallback paths below assign into vals in place
@@ -353,13 +386,15 @@ class SDSolver:
             bucket = max(64, 1 << (int(bad.size) - 1).bit_length())
             idx = np.pad(bad, (0, bucket - bad.size), mode="edge")
             Hb = jnp.asarray(Hn[idx], self.config.jdtype)
+            Qb = None if Qn is None else jnp.asarray(Qn[idx],
+                                                     self.config.jdtype)
             L0 = None
             pool = self._warmstart_pool()
             if pool is not None:
                 L0 = jnp.asarray(pool[np.argmax(pool @ Hn[idx].T, axis=0)],
                                  self.config.jdtype)
             obj_r, _, _, st_r = solve_batch(self.prep_sub, Hb,
-                                            self.config.pdhg, L0=L0)
+                                            self.config.pdhg, L0=L0, Q=Qb)
             fixed = np.asarray(st_r["pdhg_valid"])[:bad.size]
             vals[bad[fixed]] = np.asarray(obj_r, np.float64)[:bad.size][fixed]
             bad = bad[~fixed]
@@ -372,7 +407,8 @@ class SDSolver:
             ub = np.asarray(a.ub2, np.float64)
             for b in bad:
                 try:
-                    vals[b], _, _ = solve_lp_host(q, W, Hn[b], s2, lb, ub)
+                    vals[b], _, _ = solve_lp_host(
+                        q if Qn is None else Qn[b], W, Hn[b], s2, lb, ub)
                 except RuntimeError as e:
                     raise RuntimeError(
                         f"recourse LP infeasible/unsolvable at the "
@@ -385,6 +421,15 @@ class SDSolver:
                 f"evaluator (after a device retry); re-solved exactly "
                 f"on host")
         return vals
+
+    def _cost_panel(self, deltas):
+        """Per-scenario objective panel for the MC evaluators (None unless
+        the instance has random cost coefficients)."""
+        if not self.inst.scenario_model.has_cost:
+            return None
+        from sqlp_tpu.models.scenario import cost_panel
+        return cost_panel(self.inst.scenario_model, deltas,
+                          self.arrays_local.q)
 
     def evaluate(self, x=None, n_samples: int = 10_000, seed: int = 123,
                  batch: int = 4096, sampling: str = "iid") -> float:
@@ -406,7 +451,8 @@ class SDSolver:
                                    method=sampling)
             H = _scenario_rhs(self.arrays_local, inst.scenario_model,
                               deltas, x)
-            total += float(self._recourse_objs(H).sum())
+            Q = self._cost_panel(deltas)
+            total += float(self._recourse_objs(H, Q=Q).sum())
             done += b
         first = float(jnp.dot(self.arrays_local.c, x))
         return (first + total / n_samples) * self.obj_scale
@@ -458,7 +504,7 @@ class SDSolver:
                                    method=sampling)
             H = _scenario_rhs(self.arrays_local, inst.scenario_model,
                               deltas, x)
-            vals = self._recourse_objs(H)
+            vals = self._recourse_objs(H, Q=self._cost_panel(deltas))
             # Chan et al. parallel-variance merge of the batch's moments
             bn = len(vals)
             bm = float(vals.mean())
