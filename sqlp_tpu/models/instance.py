@@ -30,7 +30,8 @@ from sqlp_tpu.models.smps_cor import CorData, read_cor
 from sqlp_tpu.models.smps_sto import StoData, read_sto
 from sqlp_tpu.models.smps_tim import TimData, read_tim
 from sqlp_tpu.models.scenario import ScenarioModel, build_scenario_model
-from sqlp_tpu.models.stage import StageLP, get_smps_stage_template
+from sqlp_tpu.models.stage import (SENSE_G, SENSE_L, StageLP,
+                                   get_smps_stage_template)
 
 
 @jax.tree_util.register_dataclass
@@ -82,7 +83,9 @@ class Instance:
 
     @property
     def m2(self) -> int:
-        return self.sp2.n_rows
+        # row count of the COMPILED system: may exceed sp2.n_rows when
+        # finite stage-2 bounds were folded into explicit rows
+        return int(self.arrays.W.shape[0])
 
     @property
     def n_rv(self) -> int:
@@ -90,27 +93,70 @@ class Instance:
 
 
 def compile_instance(cor: CorData, tim: TimData, sto: StoData,
-                     name: str = "", dtype=jnp.float32) -> Instance:
-    """Compile parsed SMPS data into dense device tensors."""
+                     name: str = "", dtype=jnp.float32,
+                     fold_bounds: bool = True) -> Instance:
+    """Compile parsed SMPS data into dense device tensors.
+
+    The reference only WARNS when stage-2 vars have nontrivial bounds
+    (subprob.jl:17-27) and then generates invalid cuts anyway: its cut
+    math reads constraint duals only, and a binding finite bound carries
+    its multiplier on the bound, invisible to pi. Here (``fold_bounds``,
+    default) each finite upper bound / finite nonzero lower bound is
+    FOLDED into an explicit recourse row (e_j y <= ub_j / e_j y >= lb_j,
+    appended after the template rows) with the box loosened so it can
+    never bind — the multiplier then lands on the row, where every
+    consumer of duals (SASA cuts, crossover, argmax) sees it. A free
+    lower bound (-inf) has no dual and needs no row. All six reference
+    instances have trivial stage-2 bounds, so folding is a no-op there
+    (zero rows appended, arrays bitwise unchanged). ``fold_bounds=False``
+    restores the reference's warn-and-hope behavior.
+    """
     sp1 = get_smps_stage_template(cor, tim, 1)
     sp2 = get_smps_stage_template(cor, tim, 2)
 
-    # Reference warns when stage-2 vars have nontrivial bounds
-    # (subprob.jl:17-27): cut math ignores bound duals.
+    W2, T2, r2 = sp2.W, sp2.T, sp2.rhs
+    senses2 = sp2.senses
+    lb2, ub2 = sp2.lb.copy(), sp2.ub.copy()
+    n2 = sp2.n_cur
+    extra_rows = []            # (col j, rhs, sense)
     for j, vname in enumerate(sp2.cur_names):
-        if np.isfinite(sp2.ub[j]):
-            warnings.warn(f"{vname} has non-trivial upper bound.")
-        if sp2.lb[j] != 0.0:
-            warnings.warn(f"{vname} has non-trivial lower bound.")
+        if np.isfinite(ub2[j]):
+            if fold_bounds:
+                extra_rows.append((j, ub2[j], SENSE_L))
+                ub2[j] = np.inf
+            else:
+                warnings.warn(f"{vname} has non-trivial upper bound.")
+        if lb2[j] != 0.0 and np.isfinite(lb2[j]):
+            if fold_bounds:
+                extra_rows.append((j, lb2[j], SENSE_G))
+                # loosen the box so only the row can bind (a box tied at
+                # the same value could take the multiplier instead)
+                lb2[j] = 0.0 if lb2[j] > 0.0 else -np.inf
+            else:
+                warnings.warn(f"{vname} has non-trivial lower bound.")
+    if extra_rows:
+        n_x = len(extra_rows)
+        Wb = np.zeros((n_x, n2), W2.dtype)
+        for i, (j, _, _) in enumerate(extra_rows):
+            Wb[i, j] = 1.0
+        W2 = np.concatenate([W2, Wb], axis=0)
+        T2 = np.concatenate([T2, np.zeros((n_x, T2.shape[1]), T2.dtype)],
+                            axis=0)
+        r2 = np.concatenate([r2, np.array([b for (_, b, _) in extra_rows],
+                                          r2.dtype)])
+        senses2 = np.concatenate(
+            [senses2, np.array([s for (_, _, s) in extra_rows],
+                               senses2.dtype)])
 
     f = lambda a: jnp.asarray(a, dtype=dtype)
     arrays = InstanceArrays(
         c=f(sp1.c), A1=f(sp1.W), b1=f(sp1.rhs),
         senses1=jnp.asarray(sp1.senses), lb1=f(sp1.lb), ub1=f(sp1.ub),
-        q=f(sp2.c), W=f(sp2.W), T=f(sp2.T), r=f(sp2.rhs),
-        senses2=jnp.asarray(sp2.senses), lb2=f(sp2.lb), ub2=f(sp2.ub),
+        q=f(sp2.c), W=f(W2), T=f(T2), r=f(r2),
+        senses2=jnp.asarray(senses2), lb2=f(lb2), ub2=f(ub2),
     )
-    model = build_scenario_model(sto, sp2, dtype=dtype)
+    model = build_scenario_model(sto, sp2, dtype=dtype,
+                                 dual_system=(W2, r2, senses2))
     return Instance(name=name or cor.problem_name, cor=cor, tim=tim, sto=sto,
                     sp1=sp1, sp2=sp2, arrays=arrays, scenario_model=model)
 
@@ -137,7 +183,8 @@ def find_instance_dir(name: str) -> Optional[str]:
     return None
 
 
-def load_instance(name_or_dir: str, dtype=jnp.float32) -> Instance:
+def load_instance(name_or_dir: str, dtype=jnp.float32,
+                  fold_bounds: bool = True) -> Instance:
     """Load an SMPS instance by name (searched) or by directory path."""
     if os.path.isdir(name_or_dir):
         path = name_or_dir
@@ -153,7 +200,8 @@ def load_instance(name_or_dir: str, dtype=jnp.float32) -> Instance:
     cor = read_cor(os.path.join(path, f"{name}.cor"))
     tim = read_tim(os.path.join(path, f"{name}.tim"))
     sto = read_sto(os.path.join(path, f"{name}.sto"))
-    return compile_instance(cor, tim, sto, name=name, dtype=dtype)
+    return compile_instance(cor, tim, sto, name=name, dtype=dtype,
+                            fold_bounds=fold_bounds)
 
 
 def load_proposal(inst: Instance, sto_path: str,

@@ -90,8 +90,15 @@ class ScenarioModel:
 
 
 def build_scenario_model(sto: StoData, sp2: StageLP,
-                         dtype=jnp.float32) -> ScenarioModel:
-    """Compile a parsed sto file against the stage-2 template."""
+                         dtype=jnp.float32,
+                         dual_system=None) -> ScenarioModel:
+    """Compile a parsed sto file against the stage-2 template.
+
+    ``dual_system`` ((W, r, senses), optional): the COMPILED recourse
+    system to compute the seed dual against when it differs from sp2's —
+    instance compilation appends bound-folding rows (instance.py), and a
+    seed dual must be feasible for the system the solver actually uses.
+    """
     positions: List[Position] = list(sto.indep.keys())
     R = len(positions)
     row_lookup = sp2.row_lookup
@@ -164,12 +171,15 @@ def build_scenario_model(sto: StoData, sp2: StageLP,
             raise TypeError(f"Unknown distribution {type(d)}")
 
     has_cost = bool(rv_is_cost.any())
-    m2 = sp2.n_rows
+    if dual_system is None:
+        dual_system = (sp2.W, sp2.rhs, sp2.senses)
+    m2 = len(dual_system[1])
     seed_dual = np.zeros(m2, np.float64)
     seed_valid = False
     if has_cost:
         seed_dual, seed_valid = _compute_seed_dual(
-            sp2, rv_is_cost, rv_ycol, dist_type, values, mean, std, left)
+            sp2, dual_system, rv_is_cost, rv_ycol, dist_type, values,
+            mean, std, left)
 
     f = lambda a: jnp.asarray(a, dtype=dtype)
     return ScenarioModel(
@@ -186,8 +196,8 @@ def build_scenario_model(sto: StoData, sp2: StageLP,
     )
 
 
-def _compute_seed_dual(sp2: StageLP, rv_is_cost, rv_ycol, dist_type,
-                       values, mean, std, left,
+def _compute_seed_dual(sp2: StageLP, dual_system, rv_is_cost, rv_ycol,
+                       dist_type, values, mean, std, left,
                        normal_sigmas: float = 10.0):
     """A dual vector feasible for EVERY scenario's dual polytope.
 
@@ -224,9 +234,10 @@ def _compute_seed_dual(sp2: StageLP, rv_is_cost, rv_ycol, dist_type,
             lo = float(left[k])
         q_min[j] = min(q_min[j], lo)
 
-    W = np.asarray(sp2.W, np.float64)
-    r = np.asarray(sp2.rhs, np.float64)
-    senses = np.asarray(sp2.senses)
+    W_sys, r_sys, s_sys = dual_system
+    W = np.asarray(W_sys, np.float64)
+    r = np.asarray(r_sys, np.float64)
+    senses = np.asarray(s_sys)
     from sqlp_tpu.models.stage import SENSE_G, SENSE_L
     bounds = [(0.0, None) if s == SENSE_G else
               (None, 0.0) if s == SENSE_L else (None, None)
