@@ -108,7 +108,7 @@ def _kernel(n_inner: int, exact: bool,
             tau_ref, sig_ref, Y_ref, L_ref,
             Yout_ref, Lout_ref, Ysum_ref, Lsum_ref):
     K = K_ref[:]                      # [m, n]
-    q = q_ref[:]                      # [1, n]
+    q = q_ref[:]                      # [1, n] shared or [BLK, n] per-element
     lb = lb_ref[:]                    # [1, n]
     ub = ub_ref[:]                    # [1, n]
     eq = eqmask_ref[:]                # [1, m]  (1.0 where '==')
@@ -211,7 +211,10 @@ def pdhg_round_pallas_halpern(K, q, lb, ub, is_eq, ht, tau, sig, Y, L,
     assert B % blk == 0, (B, blk)
     dt = K.dtype
 
-    q2 = q.reshape(1, n)
+    # q: [n] shared across the batch, or [B, n] per-element (random-cost
+    # instances) — the kernel body broadcasts either shape identically
+    per_el_q = q.ndim == 2
+    q2 = q if per_el_q else q.reshape(1, n)
     lb2 = lb.reshape(1, n)
     ub2 = ub.reshape(1, n)
     eq2 = is_eq.astype(dt).reshape(1, m)
@@ -228,12 +231,13 @@ def pdhg_round_pallas_halpern(K, q, lb, ub, is_eq, ht, tau, sig, Y, L,
                             memory_space=pltpu.VMEM)
     full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
+    q_spec = col_spec if per_el_q else full(1, n)
 
     call = pl.pallas_call(
         partial(_kernel_halpern, n_inner, exact),
         grid=grid,
         in_specs=[
-            full(m, n), full(1, n), full(1, n), full(1, n), full(1, m),
+            full(m, n), q_spec, full(1, n), full(1, n), full(1, m),
             row_spec, scl_spec, scl_spec, col_spec, row_spec,
             scl_spec,            # kh
             col_spec,            # Y anchor
@@ -271,7 +275,8 @@ def pdhg_round_pallas(K, q, lb, ub, is_eq, ht, tau, sig, Y, L,
     assert B % blk == 0, (B, blk)
     dt = K.dtype
 
-    q2 = q.reshape(1, n)
+    per_el_q = q.ndim == 2
+    q2 = q if per_el_q else q.reshape(1, n)
     lb2 = lb.reshape(1, n)
     ub2 = ub.reshape(1, n)
     eq2 = is_eq.astype(dt).reshape(1, m)
@@ -287,13 +292,14 @@ def pdhg_round_pallas(K, q, lb, ub, is_eq, ht, tau, sig, Y, L,
                             memory_space=pltpu.VMEM)
     full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
+    q_spec = col_spec if per_el_q else full(1, n)
 
     call = pl.pallas_call(
         partial(_kernel, n_inner, exact),
         grid=grid,
         in_specs=[
             full(m, n),          # K
-            full(1, n),          # q
+            q_spec,              # q ([1,n] shared / [blk,n] per-element)
             full(1, n),          # lb
             full(1, n),          # ub
             full(1, m),          # eq mask

@@ -210,8 +210,9 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
         term, so the old optimum is a near-feasible start).
       Q: optional [B, n] PER-ELEMENT objective in original units —
         random-cost instances (reference TODO 6), where every scenario LP
-        carries its own q_s. Overrides lp.q; runs the XLA recursion (the
-        Pallas kernels keep the shared-q fast path).
+        carries its own q_s. Overrides lp.q; the Pallas round takes it as
+        a row-blocked [blk, n] operand (shared-q runs keep the broadcast
+        [1, n] load and are bitwise unchanged).
 
     Returns:
       (obj [B], Y [B, n], Pi [B, m], stats) — Pi in the JuMP d(obj)/d(rhs)
@@ -237,7 +238,6 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
     # where the VMEM-resident round is ~4x faster than the XLA loop
     # (padding 2 -> 128 instead was measured SLOWER: 89 vs 102 it/s).
     use_pallas = (bool(config.use_pallas)
-                  and Q is None
                   and jax.default_backend() == "tpu")
     if use_pallas:
         from sqlp_tpu.ops.pallas.pdhg_kernel import (
@@ -253,6 +253,9 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
             if L0 is not None:
                 L0 = jnp.concatenate(
                     [L0, jnp.broadcast_to(L0[:1], (B - B_orig, m))], axis=0)
+            if Q is not None:
+                Q = jnp.concatenate(
+                    [Q, jnp.broadcast_to(Q[:1], (B - B_orig, n))], axis=0)
     else:
         B = B_orig
 
@@ -289,7 +292,8 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
             kh, Yanc, Lanc = el["kh"], el["Yanc"], el["Lanc"]
             if pallas_ok:
                 Y, L, Yc, Lc = pdhg_round_pallas_halpern(
-                    lp.K, lp.q, lb, ub, lp.is_eq, ht, tau[:, 0], sig[:, 0],
+                    lp.K, el.get("Q", lp.q), lb, ub, lp.is_eq, ht,
+                    tau[:, 0], sig[:, 0],
                     Y, L, kh, Yanc, Lanc, config.restart_every, blk=BLK,
                     exact=config.pallas_exact_small and BLK < 128)
                 return Y, L, [(Yc, Lc)]
@@ -313,7 +317,8 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
 
         if pallas_ok:
             Y, L, Ya, La = pdhg_round_pallas(
-                lp.K, lp.q, lb, ub, lp.is_eq, ht, tau[:, 0], sig[:, 0],
+                lp.K, el.get("Q", lp.q), lb, ub, lp.is_eq, ht,
+                tau[:, 0], sig[:, 0],
                 Y, L, config.restart_every, blk=BLK,
                 exact=config.pallas_exact_small and BLK < 128)
             return Y, L, [(Y, L), (Ya, La)]
@@ -488,7 +493,7 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
     Y_out = Yb * lp.col_scale[None, :]
     Pi_out = Lb * (lp.row_scale * lp.flip)[None, :]
     obj = _dot(Y_out, lp.q / lp.col_scale) if Q is None \
-        else jnp.sum(Y_out * Q, axis=-1)
+        else jnp.sum(Y_out * Q[:B_orig], axis=-1)
 
     stats = {
         "pdhg_rounds": rounds,
