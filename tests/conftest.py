@@ -23,6 +23,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# No persistent compilation cache in tests: the suite compiles hundreds of
+# small CPU executables in one long-lived process, and jax's cache-write
+# path (compilation_cache.put_executable_and_time → executable
+# serialization) has segfaulted there twice, killing the whole run. The
+# cache only amortizes cross-process TPU compiles, which tests never do;
+# SDSolver's configure_jax() respects this pre-set flag.
+jax.config.update("jax_enable_compilation_cache", False)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
