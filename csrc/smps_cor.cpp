@@ -53,6 +53,13 @@ int row_index(CorHandle* h, std::unordered_map<std::string, int>& map,
     return it == map.end() ? -1 : it->second;
 }
 
+// strict numeric parse; std::stod would throw through the C ABI (UB)
+bool to_double(const std::string& s, double* out) {
+    char* end = nullptr;
+    *out = std::strtod(s.c_str(), &end);
+    return end != s.c_str() && *end == '\0';
+}
+
 }  // namespace
 
 extern "C" {
@@ -113,7 +120,14 @@ void* smps_cor_parse(const char* path, char* err, int errcap) {
                     delete h;
                     return fail(msg);
                 }
-                h->entries.push_back({i, j, std::stod(t[k + 1])});
+                double v;
+                if (!to_double(t[k + 1], &v)) {
+                    std::string msg = "bad number '" + t[k + 1] +
+                                      "' in COLUMNS";
+                    delete h;
+                    return fail(msg);
+                }
+                h->entries.push_back({i, j, v});
             }
         } else if (section == "RHS") {
             for (size_t k = 1; k + 1 < t.size(); k += 2) {
@@ -123,7 +137,13 @@ void* smps_cor_parse(const char* path, char* err, int errcap) {
                     delete h;
                     return fail(msg);
                 }
-                h->rhs.push_back({i, std::stod(t[k + 1])});
+                double v;
+                if (!to_double(t[k + 1], &v)) {
+                    std::string msg = "bad number '" + t[k + 1] + "' in RHS";
+                    delete h;
+                    return fail(msg);
+                }
+                h->rhs.push_back({i, v});
             }
         } else if (section == "BOUNDS") {
             if (t.size() < 3) continue;
@@ -136,12 +156,21 @@ void* smps_cor_parse(const char* path, char* err, int errcap) {
             }
             int j = it->second;
             const double inf = std::numeric_limits<double>::infinity();
+            // LO/UP/FX carry a value token the 3-token guard above does
+            // not cover; t[3] on a 3-token line would read out of bounds.
+            double v = 0.0;
+            if (btype == "LO" || btype == "UP" || btype == "FX") {
+                if (t.size() < 4 || !to_double(t[3], &v)) {
+                    std::string msg = "missing/bad bound value in: " + line;
+                    delete h;
+                    return fail(msg);
+                }
+            }
             if (btype == "LO") {
-                h->lo.push_back({j, std::stod(t[3])});
+                h->lo.push_back({j, v});
             } else if (btype == "UP") {
-                h->up.push_back({j, std::stod(t[3])});
+                h->up.push_back({j, v});
             } else if (btype == "FX") {
-                double v = std::stod(t[3]);
                 h->lo.push_back({j, v});
                 h->up.push_back({j, v});
             } else if (btype == "FR") {

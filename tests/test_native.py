@@ -39,6 +39,30 @@ def test_native_rejects_bad_file(tmp_path):
         read_cor_native(str(p))
 
 
+def test_native_rejects_malformed_values(tmp_path):
+    """Truncated BOUNDS lines and non-numeric values fail cleanly.
+
+    These paths previously read t[3] out of bounds / let std::stod throw
+    through the C ABI (undefined behavior); they must return a parse
+    error, never crash or corrupt the process.
+    """
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    head = ("NAME T\nROWS\n N  OBJ\n L  C1\nCOLUMNS\n"
+            "    X1  OBJ  1.0  C1  1.0\nRHS\n    R  C1  2.0\n")
+    cases = [
+        head + "BOUNDS\n LO BND  X1\nENDATA\n",       # missing value
+        head + "BOUNDS\n UP BND  X1  abc\nENDATA\n",  # non-numeric bound
+        ("NAME T\nROWS\n N  OBJ\nCOLUMNS\n"
+         "    X1  OBJ  xyz\nENDATA\n"),               # non-numeric coeff
+    ]
+    for i, text in enumerate(cases):
+        p = tmp_path / f"bad{i}.cor"
+        p.write_text(text)
+        with pytest.raises(AssertionError):
+            read_cor_native(str(p))
+
+
 @pytest.mark.parametrize("name", ["lands", "transship", "baa99-20",
                                   "storm", "ssn"])
 def test_native_sto_parity(name):
