@@ -7,6 +7,22 @@ reference asserts exactness.
 """
 
 import os
+import resource
+
+# Raise the stack ceiling (default soft limit: 8 MB). XLA's CPU pipeline
+# recurses deeply while compiling the largest graph in the suite (sd_run's
+# chunked scan over the full SD step); two suite runs segfaulted inside
+# native compile/serialize frames with 125 GB of RAM free — the signature
+# of main-thread stack exhaustion, which Linux reports as SIGSEGV. The
+# main stack grows on demand up to the soft limit, so raising it here
+# (before any deep compile) takes effect for the whole run.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+if _soft != resource.RLIM_INFINITY:
+    _want = _hard if _hard != resource.RLIM_INFINITY else resource.RLIM_INFINITY
+    try:
+        resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
+    except (ValueError, OSError):
+        pass
 
 # Force CPU: the session environment presets a TPU plugin (axon) that is
 # registered by a sitecustomize at interpreter startup — BEFORE this
