@@ -18,9 +18,8 @@ import resource
 # (before any deep compile) takes effect for the whole run.
 _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
 if _soft != resource.RLIM_INFINITY:
-    _want = _hard if _hard != resource.RLIM_INFINITY else resource.RLIM_INFINITY
     try:
-        resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
+        resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
     except (ValueError, OSError):
         pass
 

@@ -3,7 +3,7 @@
 Same harness as profile_sd_step.time_chunk: warm once, then time one
 compiled 64-iteration chunk from the same state per variant.
 
-Usage: python tools/tune_pdhg_storm.py [instance] [warm_iters]
+Usage: python tools/tune_pdhg_storm.py [instance] [warm_iters] [total_iters]
 """
 
 from __future__ import annotations
