@@ -188,14 +188,22 @@ def _bench_throughput(inst, config, B: int) -> dict:
     assert max(rel_errs) < 1e-3, f"objective mismatch vs HiGHS: {rel_errs}"
 
     # baseline: serial exact solves, one scenario at a time (the
-    # reference's architecture), measured on this host
+    # reference's architecture), measured on this host. One timing run of
+    # a host solver is noisy (observed 94.5 vs 68.5 LP/s for the same host
+    # across rounds — a 38% swing in the headline multiplier's
+    # denominator); take the median of repeated measurements and report
+    # the spread alongside.
     n_base = 16
-    t0 = time.time()
-    for b in range(n_base):
-        solve_lp_host(q64, W64, Hn[b], s2, lb64, ub64)
-    base_throughput = n_base / (time.time() - t0)
+    base_runs = []
+    for _ in range(5):
+        t0 = time.time()
+        for b in range(n_base):
+            solve_lp_host(q64, W64, Hn[b], s2, lb64, ub64)
+        base_runs.append(n_base / (time.time() - t0))
+    base_throughput = float(np.median(base_runs))
 
     return {"throughput": throughput, "baseline": base_throughput,
+            "baseline_runs": [round(r, 2) for r in sorted(base_runs)],
             "batch": B, "max_rel_err_vs_highs": max(rel_errs)}
 
 
@@ -296,6 +304,7 @@ def child(args) -> int:
         "backend": args.platform,
         "batch": thr["batch"],
         "serial_baseline_lp_per_sec": round(thr["baseline"], 2),
+        "serial_baseline_runs": thr["baseline_runs"],
     }
     if not on_tpu:
         out["note"] = ("CPU fallback (TPU backend unavailable): reduced "

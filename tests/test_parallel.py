@@ -19,6 +19,31 @@ from sqlp_tpu.sd.state import default_epigraph_spec, init_state
 
 from conftest import require_instance
 
+
+def _lands_exact_objective(inst, x) -> float:
+    """c@x + sum_s p_s Q(x, v_s) over lands' 3-outcome support — the exact
+    extensive-form objective whose optimum is the reference golden
+    381.8533333 (test/crash_test.jl:37). Recourse LPs solved by HiGHS f64."""
+    from sqlp_tpu.models.routines import solve_lp_host
+    from sqlp_tpu.sd.algorithm import _scenario_rhs
+
+    a = inst.arrays
+    sm = inst.scenario_model
+    vals = np.asarray(sm.values, np.float64)[0, :3]
+    cdf = np.asarray(sm.cdf, np.float64)[0, :3]
+    probs = np.diff(np.concatenate([[0.0], cdf]))
+    deltas = jnp.asarray((vals - float(sm.base[0]))[:, None], jnp.float64)
+    x = np.asarray(x, np.float64)
+    H = np.asarray(_scenario_rhs(a, sm, deltas, jnp.asarray(x)), np.float64)
+    q = np.asarray(a.q, np.float64)
+    W = np.asarray(a.W, np.float64)
+    s2 = np.asarray(a.senses2)
+    lo = np.asarray(a.lb2, np.float64)
+    hi = np.asarray(a.ub2, np.float64)
+    rec = [solve_lp_host(q, W, H[i], s2, lo, hi)[0] for i in range(3)]
+    return float(np.asarray(a.c, np.float64) @ x + probs @ rec)
+
+
 _CFG = SDConfig(
     dtype="float64",
     max_scenarios=256, max_dual_vertices=64, max_cuts=16,
@@ -72,14 +97,21 @@ def test_sharded_step_matches_single_device():
     assert abs(int(s1.n_duals) - int(s8.n_duals)) <= 1
     assert int(jnp.sum(s1.cut_live)) == int(jnp.sum(s8.cut_live))
 
-    # past the chaotic branch horizon: solution-level consistency only
+    # Past the chaotic branch horizon the trajectories are distinct but
+    # both must remain VALID SD runs, so assert a valid-run invariant
+    # instead of a loose norm on x: both incumbents' exact 3-scenario
+    # extensive-form objectives agree within 1.0 (and neither sits below
+    # the EF optimum 381.8533, which would mean a broken evaluation).
     for _ in range(8):
         s1, _ = sd_step(inst.arrays, inst.scenario_model, espec, prep,
                         s1, _CFG)
         s8, _ = sd_step(arrays, model, espec_r, prep_r, s8, _CFG)
     assert abs(int(s1.n_duals) - int(s8.n_duals)) <= 3
-    np.testing.assert_allclose(np.asarray(s1.x_incumbent),
-                               np.asarray(s8.x_incumbent), atol=5.0)
+    f1 = _lands_exact_objective(inst, s1.x_incumbent)
+    f8 = _lands_exact_objective(inst, s8.x_incumbent)
+    assert f1 >= 381.8533 - 1e-6
+    assert f8 >= 381.8533 - 1e-6
+    assert abs(f1 - f8) < 1.0, (f1, f8)
 
 
 def test_multi_epigraph_lands():
