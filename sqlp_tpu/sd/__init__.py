@@ -12,3 +12,5 @@ from sqlp_tpu.sd.cuts import (  # noqa: F401
     evaluate_multi_epigraph)
 from sqlp_tpu.sd.algorithm import sd_step  # noqa: F401
 from sqlp_tpu.sd.driver import SDSolver, solve_instance  # noqa: F401
+from sqlp_tpu.sd.lower_bound import (  # noqa: F401
+    certified_lower_bound, cut_model_min, saa_polish, t_lower_bound)

@@ -313,8 +313,31 @@ class SDSolver:
     @property
     def lower_estimate(self) -> float:
         """Candidate objective estimate under current cuts — the lb proxy the
-        reference drivers print (sd_single_cut_test.jl:71-77)."""
+        reference drivers print (sd_single_cut_test.jl:71-77). NOT a valid
+        bound (it can sit above the optimum); see
+        :meth:`cut_model_lower_bound` for the deterministic SAA bound."""
         return float(self.state.cand_est) * self.obj_scale
+
+    def cut_model_lower_bound(self) -> float:
+        """Exact minimum of the current cut model over the first-stage
+        polytope, solved on the host by HiGHS in f64 — a DETERMINISTIC
+        lower bound on this run's sample-average (SAA) optimum, unlike
+        the :attr:`lower_estimate` proxy (sd/lower_bound.py)."""
+        from sqlp_tpu.sd.lower_bound import cut_model_min
+        return cut_model_min(self.arrays, self.espec, self.state,
+                             obj_scale=self.obj_scale)
+
+    def saa_lower_bound(self, max_rounds: int = 24,
+                        gap_tol: float = 1e-4) -> Dict:
+        """Benders-polished deterministic bound on this run's SAA optimum:
+        Kelley rounds on the stored scenario stream tighten the cut model
+        before taking its exact minimum (sd/lower_bound.py:saa_polish).
+        Returns the polish dict; ``lb_per_rep[0]`` is the bound."""
+        from sqlp_tpu.sd.lower_bound import saa_polish
+        return saa_polish(self.arrays, self.scenario_model, self.espec,
+                          self.prep_sub, [self.state], self.config,
+                          obj_scale=self.obj_scale, max_rounds=max_rounds,
+                          gap_tol=gap_tol)
 
     def _warmstart_pool(self) -> Optional[np.ndarray]:
         """Live dual-vertex pool [n_duals, m2] (f64, host) for MC-retry
@@ -642,6 +665,34 @@ class SDReplications(SDSolver):
         """Per-replication SDState views (for compromise_decision)."""
         return [jax.tree.map(lambda a: a[r], self.state)
                 for r in range(self.n_replications)]
+
+    def certified_lower_bound(self, confidence: float = 0.95,
+                              polish_rounds: int = 24,
+                              gap_tol: float = 1e-4) -> Dict:
+        """Replication-based Student-t confidence lower bound on the TRUE
+        optimum: each replication's exact cut-model minimum is a
+        deterministic bound on its SAA optimum, and i.i.d. sampling gives
+        E[SAA optimum] <= v* (sd/lower_bound.py). With ``polish_rounds``
+        (default on), each replication's model is first Benders-polished
+        toward its SAA optimum on the stored scenario stream — all
+        replications' recourse panels solve in one batched device call
+        per round. Returns lb_cert / lb_mean / lb_half_width /
+        lb_per_rep (+ polish diagnostics)."""
+        from sqlp_tpu.sd.lower_bound import (certified_lower_bound,
+                                             saa_polish, t_lower_bound)
+        if polish_rounds <= 0:
+            return certified_lower_bound(
+                self.arrays, self.espec, self.states,
+                obj_scale=self.obj_scale, confidence=confidence)
+        pol = saa_polish(self.arrays, self.scenario_model, self.espec,
+                         self.prep_sub, self.states, self.config,
+                         obj_scale=self.obj_scale,
+                         max_rounds=polish_rounds, gap_tol=gap_tol)
+        out = t_lower_bound(pol["lb_per_rep"], confidence)
+        out["saa_ub_per_rep"] = pol["saa_ub_per_rep"]
+        out["polish_rounds"] = pol["rounds"]
+        out["polish_gap_per_rep"] = pol["gap_per_rep"]
+        return out
 
     @property
     def especs(self) -> List[EpigraphSpec]:

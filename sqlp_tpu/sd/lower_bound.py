@@ -1,0 +1,411 @@
+"""Certified lower bounds for SD solutions.
+
+The reference's drivers print the candidate's cut-model estimate as the
+"lb" (test/instance_test/sd_single_cut_test.jl:71-77). That number is a
+proxy, not a bound: it evaluates the cut model at one point, moves with
+every new cut, and can sit ABOVE the true optimum early in a run
+(RESULTS.md: newsvendor 1.04 after 200 iterations vs the exact 1.0).
+
+This module provides the statistically valid route (the standard SD/SAA
+argument, Higle & Sen's stopping theory being the model):
+
+1. ``cut_model_min``: the exact minimum of a replication's final cut model
+   over the first-stage polytope, solved on the host by HiGHS in f64.
+   This is a DETERMINISTIC lower bound on the optimal value v_N of that
+   replication's sample-average (SAA) problem:
+
+     * every stored cut under-estimates the stream's SAA recourse average
+       at every x — a cut built at stream position k satisfies
+       cut_k(x) <= (1/k) sum_{s<=k} Q(x, xi_s), and the weight-mark
+       discount d = mark/total with the (1-d)*lb blending
+       (src/sd_algorithm/epigraph.jl:101-117) extends that to the full
+       stream because lb <= Q(x, xi) everywhere;
+     * the incumbent cut is rebuilt at full weight each iteration, so it
+       bounds the current stream directly;
+     * the per-epigraph lower bound is itself a valid recourse bound
+       (models/routines.py:recourse_lower_bound, computed not guessed).
+
+   Hence min_x c@x + sum_e w_e max(cuts_e, inc_e, lb_e) <= v_N.
+
+2. ``certified_lower_bound``: R independent replications give i.i.d.
+   samples lb_r <= v_N^(r); with i.i.d. scenario sampling E[v_N] <= v*
+   (the classic SAA inequality E[min] <= min E, requiring the epigraph
+   weights to sum to 1), so the Student-t bound
+
+     mean(lb_r) - t_{R-1, conf} * std(lb_r) / sqrt(R)
+
+   is a (conf)-level confidence lower bound on the true optimum v*.
+
+Validity caveats (checked and warned about at runtime):
+  * the scenario reservoir must not have overflowed (state.scen_dropped
+    == 0): past saturation, new cuts average a uniform SUBSAMPLE of the
+    stream — an unbiased estimate of, but not a pointwise bound on, the
+    stream's SAA average;
+  * scenario weights must be 1 (plain i.i.d. sampling, no importance
+    sampling): the self-normalized IS ratio estimator is biased, which
+    breaks E[min] <= min E;
+  * pool duals are epsilon-feasible to the kernel's ``valid_tol`` (1e-4
+    relative KKT error) rather than exactly feasible like the reference's
+    simplex duals, so each cut can over-estimate by O(valid_tol * scale) —
+    orders of magnitude below the statistical half-widths reported here.
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+import scipy.optimize
+
+
+def _np64(a) -> np.ndarray:
+    from sqlp_tpu.parallel.mesh import to_host
+    return np.asarray(to_host(a), np.float64)
+
+
+def cut_model_min(arrays, espec, state, obj_scale: float = 1.0,
+                  check_validity: bool = True,
+                  extra_cuts: Optional[Sequence] = None,
+                  return_x: bool = False):
+    """Exact minimum of the cut model over the first-stage polytope.
+
+        min_x  c@x + sum_e w_e eta_e
+        s.t.   A1 x {senses1} b1,  lb1 <= x <= ub1,
+               eta_e >= d alpha + (1-d) lb_e + d beta@x   (live cuts)
+               eta_e >= alpha_inc + beta_inc@x            (incumbent cut)
+               eta_e >= lb_e
+
+    solved on the host by HiGHS in f64 (scipy.optimize.linprog). The
+    arguments are the solver's SCALED arrays/espec/state when objective
+    normalization is active; ``obj_scale`` unscales the returned value.
+
+    ``extra_cuts``: optional additional FULL-WEIGHT cuts per epigraph,
+    ``[(e, alpha, beta), ...]`` in scaled units — the SAA-polish cuts
+    (:func:`saa_polish`) enter the model through this.
+
+    Returns the unscaled optimal value — a deterministic lower bound on
+    the replication's SAA optimum (module docstring) — or, with
+    ``return_x``, the tuple (value, x, eta) in scaled units.
+    """
+    c = _np64(arrays.c)
+    A1 = _np64(arrays.A1)
+    b1 = _np64(arrays.b1)
+    senses1 = np.asarray(arrays.senses1)
+    lb1 = _np64(arrays.lb1)
+    ub1 = _np64(arrays.ub1)
+    w = _np64(espec.obj_weight)
+    lb_e = _np64(espec.lower_bound)
+    n1 = c.shape[0]
+    E = w.shape[0]
+
+    if check_validity:
+        if int(np.asarray(state.scen_dropped)) != 0:
+            warnings.warn(
+                "scenario reservoir overflowed during this run "
+                f"(scen_dropped={int(np.asarray(state.scen_dropped))}); "
+                "post-saturation cuts average a subsample of the stream, "
+                "so the cut-model minimum is no longer a strict bound on "
+                "the stream's SAA optimum")
+        sw = _np64(state.scen_weights)
+        ns = np.asarray(state.n_scen)
+        live_w = np.concatenate(
+            [sw[e, :int(ns[e])] for e in range(E)]) if ns.sum() else \
+            np.ones(0)
+        if live_w.size and not np.allclose(live_w, 1.0, atol=1e-9):
+            warnings.warn(
+                "non-unit scenario weights (importance sampling?): the "
+                "SAA inequality E[min] <= min E needs unbiased sample "
+                "averages; the certified-bound claim does not cover "
+                "self-normalized IS streams")
+        if not math.isclose(float(w.sum()), 1.0, rel_tol=1e-6):
+            warnings.warn(
+                f"epigraph weights sum to {float(w.sum()):.6g} != 1; the "
+                "cut-model minimum bounds sum_e w_e E[Q], not E[Q]")
+
+    cut_alpha = _np64(state.cut_alpha)          # [E, K]
+    cut_beta = _np64(state.cut_beta)            # [E, K, n1]
+    cut_mark = _np64(state.cut_mark)
+    cut_live = np.asarray(state.cut_live)
+    total_w = np.maximum(_np64(state.total_weight), 1e-30)
+    inc_alpha = _np64(state.inc_alpha)
+    inc_beta = _np64(state.inc_beta)
+    inc_valid = np.asarray(state.inc_valid)
+
+    # variables z = [x (n1); eta (E)]
+    obj = np.concatenate([c, w])
+    rows_ub, rhs_ub = [], []
+    rows_eq, rhs_eq = [], []
+    zpad = np.zeros(E)
+    for i in range(A1.shape[0]):
+        row = np.concatenate([A1[i], zpad])
+        if senses1[i] == 0:                      # '=='
+            rows_eq.append(row)
+            rhs_eq.append(b1[i])
+        elif senses1[i] == 1:                    # '>=' -> negate
+            rows_ub.append(-row)
+            rhs_ub.append(-b1[i])
+        else:                                    # '<='
+            rows_ub.append(row)
+            rhs_ub.append(b1[i])
+    for e in range(E):
+        d = cut_mark[e] / total_w[e]
+        for k in range(cut_alpha.shape[1]):
+            if not cut_live[e, k]:
+                continue
+            # eta_e >= d alpha + (1-d) lb + d beta@x
+            row = np.concatenate([d[k] * cut_beta[e, k], zpad])
+            row[n1 + e] = -1.0
+            rows_ub.append(row)
+            rhs_ub.append(-(d[k] * cut_alpha[e, k]
+                            + (1.0 - d[k]) * lb_e[e]))
+        if inc_valid[e]:
+            row = np.concatenate([inc_beta[e], zpad])
+            row[n1 + e] = -1.0
+            rows_ub.append(row)
+            rhs_ub.append(-inc_alpha[e])
+    for (e, alpha, beta) in (extra_cuts or ()):
+        row = np.concatenate([np.asarray(beta, np.float64), zpad])
+        row[n1 + int(e)] = -1.0
+        rows_ub.append(row)
+        rhs_ub.append(-float(alpha))
+
+    bounds = [(lo if np.isfinite(lo) else None,
+               hi if np.isfinite(hi) else None)
+              for lo, hi in zip(lb1, ub1)]
+    bounds += [(float(lb_e[e]) if np.isfinite(lb_e[e]) else None, None)
+               for e in range(E)]
+
+    res = scipy.optimize.linprog(
+        obj,
+        A_ub=np.asarray(rows_ub) if rows_ub else None,
+        b_ub=np.asarray(rhs_ub) if rhs_ub else None,
+        A_eq=np.asarray(rows_eq) if rows_eq else None,
+        b_eq=np.asarray(rhs_eq) if rows_eq else None,
+        bounds=bounds, method="highs")
+    if res.status != 0:
+        raise RuntimeError(
+            f"cut-model master LP failed ({res.message}); an unbounded "
+            f"status usually means an epigraph has no live cuts and an "
+            f"infinite lower bound")
+    if return_x:
+        return float(res.fun), res.x[:n1].copy(), res.x[n1:].copy()
+    return float(res.fun) * obj_scale
+
+
+def saa_polish(arrays, scenario_model, espec, prep_sub, states: Sequence,
+               config, obj_scale: float = 1.0, max_rounds: int = 24,
+               gap_tol: float = 1e-4) -> Dict:
+    """Benders-polish each replication's cut model toward its SAA optimum.
+
+    The SD run's final cut model is only tight near its iterates — its
+    exact minimum can sit far below the replication's SAA optimum v_N
+    (the quantity the statistical bound wants). This routine runs Kelley/
+    Benders rounds ON THE STORED SCENARIO STREAM: each round solves every
+    replication's full recourse panel at its current model argmin in ONE
+    batched device call (R*E*N LPs — the same kernel the SD step uses,
+    so a round costs ~N/throughput seconds), assembles one exact
+    full-weight average cut per (replication, epigraph) on the host in
+    f64, and re-minimizes. The model minimum increases monotonically and
+    every intermediate value is already a valid bound on v_N, so the
+    polish can stop on any budget; the Kelley gap against the exact SAA
+    value at the argmin (also free from the same panel solve) is the
+    stopping signal.
+
+    Validity matches :func:`cut_model_min`'s argument: each per-scenario
+    dual is epsilon-feasible (elements the kernel could not certify fall
+    back to the replication's best pool vertex — feasible by pool
+    construction — or to ``seed_dual`` on random-cost instances), and the
+    cuts average the FULL stored stream at full weight, so the polished
+    model minimum still under-estimates v_N.
+
+    Returns (all in unscaled objective units):
+      lb_per_rep      final exact cut-model minima, one per replication
+      saa_ub_per_rep  best exact-sample SAA value found per replication
+                      (an upper bound on v_N, NOT on the true optimum)
+      gap_per_rep     final relative Kelley gap per replication
+      rounds          rounds executed
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sqlp_tpu.models.scenario import cost_panel
+    from sqlp_tpu.ops.pdhg import solve_batch
+    from sqlp_tpu.sd.algorithm import _scenario_rhs
+
+    R = len(states)
+    E = int(np.asarray(states[0].cut_alpha).shape[0])
+    n_scen = np.asarray(states[0].n_scen)
+    for s in states:
+        assert np.array_equal(np.asarray(s.n_scen), n_scen), \
+            "replications must share scenario counts (same run length)"
+    N = int(n_scen.max())
+    assert int(n_scen.min()) == N, "per-epigraph scenario counts differ"
+
+    r64 = _np64(arrays.r)
+    T64 = _np64(arrays.T)
+    w_e = _np64(espec.obj_weight)
+    c64 = _np64(arrays.c)
+    rv_row = np.asarray(scenario_model.rv_row)
+    rv_col = np.asarray(scenario_model.rv_col)
+    rv_is_rhs = np.asarray(scenario_model.rv_is_rhs)
+    rv_is_cost = (np.asarray(scenario_model.rv_is_cost)
+                  if scenario_model.has_cost
+                  else np.zeros_like(rv_is_rhs))
+    n1 = c64.shape[0]
+
+    # [R, E, N, Rv] stored deltas + weights (host f64 for the cut math,
+    # device copy for the RHS panels)
+    deltas_h = np.stack([_np64(s.scen_deltas)[:, :N] for s in states])
+    weights_h = np.stack([_np64(s.scen_weights)[:, :N] for s in states])
+    p_h = weights_h / np.maximum(
+        weights_h.sum(axis=2, keepdims=True), 1e-30)        # [R, E, N]
+    deltas_d = jnp.asarray(
+        np.stack([np.asarray(s.scen_deltas)[:, :N] for s in states]))
+    dt = np.asarray(arrays.c).dtype
+
+    if scenario_model.has_cost:
+        Q = cost_panel(scenario_model,
+                       deltas_d.reshape(R * E * N, -1), arrays.q)
+        fallback = np.broadcast_to(_np64(scenario_model.seed_dual),
+                                   (R, E * N, r64.shape[0]))
+    else:
+        Q = None
+        fallback = None
+
+    # per-replication live pools for the epsilon-feasible dual fallback
+    pools = [ _np64(s.duals)[:max(int(np.asarray(s.n_duals)), 1)]
+              for s in states]
+
+    rhs_fn = jax.jit(lambda d, x: _scenario_rhs(
+        arrays, scenario_model, d, x))
+
+    cuts: list = [[] for _ in range(R)]
+    lb = np.full(R, -np.inf)
+    ub = np.full(R, np.inf)
+    gap = np.full(R, np.inf)
+    Y0 = L0 = None
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        xs = np.zeros((R, n1))
+        for r in range(R):
+            lb[r], xs[r], _ = cut_model_min(
+                arrays, espec, states[r], check_validity=False,
+                extra_cuts=cuts[r], return_x=True)
+        if rounds > 1:
+            gap = (ub - lb) / (1.0 + np.abs(ub))
+            if gap.max() <= gap_tol:
+                rounds -= 1
+                break
+        H = jnp.concatenate([
+            rhs_fn(deltas_d[r].reshape(E * N, -1),
+                   jnp.asarray(xs[r], dt)) for r in range(R)])
+        obj, Y, Pi, stats = solve_batch(prep_sub, H, config.pdhg,
+                                        Y0=Y0, L0=L0, Q=Q)
+        Y0, L0 = Y, Pi
+        valid = np.asarray(stats["pdhg_valid"]).reshape(R, E * N)
+        obj_h = _np64(obj).reshape(R, E, N)
+        Pi_h = _np64(Pi).reshape(R, E * N, -1)
+        if not valid.all():
+            # epsilon-feasible substitutes for uncertified duals: the
+            # replication's best pool vertex for that RHS (or seed_dual
+            # on random-cost instances, feasible for every scenario)
+            H_h = _np64(H).reshape(R, E * N, -1)
+            for r in range(R):
+                bad = np.flatnonzero(~valid[r])
+                if not bad.size:
+                    continue
+                if fallback is not None:
+                    Pi_h[r, bad] = fallback[r, bad]
+                else:
+                    sc = pools[r] @ H_h[r, bad].T           # [D, nbad]
+                    Pi_h[r, bad] = pools[r][np.argmax(sc, axis=0)]
+        Pi_h = Pi_h.reshape(R, E, N, -1)
+
+        for r in range(R):
+            for e in range(E):
+                p = p_h[r, e]
+                Pi_re = Pi_h[r, e]                           # [N, m2]
+                d_re = deltas_h[r, e]                        # [N, Rv]
+                pi_rows = Pi_re[:, rv_row]                   # [N, Rv]
+                rhs_d = np.where(rv_is_rhs[None, :], d_re, 0.0)
+                alpha = (p @ (Pi_re @ r64)
+                         + np.sum(p[:, None] * rhs_d * pi_rows))
+                pibar = p @ Pi_re
+                beta = -(T64.T @ pibar)
+                not_tr = rv_is_rhs | rv_is_cost
+                tr = np.where(not_tr[None, :], 0.0,
+                              p[:, None] * d_re * pi_rows)   # [N, Rv]
+                np.subtract.at(beta, rv_col, tr.sum(axis=0))
+                cuts[r].append((e, alpha, beta))
+            # exact-sample SAA value at x_r (the Kelley upper bound; the
+            # small PDHG objective error only moves the STOPPING signal)
+            val = c64 @ xs[r] + float(w_e @ (
+                np.sum(p_h[r] * obj_h[r], axis=1)))
+            ub[r] = min(ub[r], val)
+
+    for r in range(R):
+        lb[r], _, _ = cut_model_min(
+            arrays, espec, states[r], check_validity=(r == 0),
+            extra_cuts=cuts[r], return_x=True)
+    gap = (ub - lb) / (1.0 + np.abs(ub))
+    return {
+        "lb_per_rep": lb * obj_scale,
+        "saa_ub_per_rep": ub * obj_scale,
+        "gap_per_rep": gap,
+        "rounds": rounds,
+    }
+
+
+def t_lower_bound(per_rep: np.ndarray, confidence: float = 0.95) -> Dict:
+    """Student-t aggregation of i.i.d. per-replication bounds (module
+    docstring): mean - t_{R-1,conf} * std / sqrt(R)."""
+    import scipy.stats
+
+    per_rep = np.asarray(per_rep, np.float64)
+    R = per_rep.shape[0]
+    mean = float(per_rep.mean())
+    if R > 1:
+        t = float(scipy.stats.t.ppf(0.5 * (1.0 + confidence), R - 1))
+        hw = t * float(per_rep.std(ddof=1)) / math.sqrt(R)
+    else:
+        hw = math.inf
+        warnings.warn("one replication gives no variance estimate; "
+                      "lb_cert is -inf — run R >= 2 replications")
+    return {
+        "lb_cert": mean - hw,
+        "lb_mean": mean,
+        "lb_half_width": hw,
+        "lb_per_rep": per_rep,
+        "confidence": confidence,
+        "n_replications": R,
+    }
+
+
+def certified_lower_bound(arrays, espec, states: Sequence,
+                          obj_scale: float = 1.0,
+                          confidence: float = 0.95) -> Dict:
+    """Replication-based confidence lower bound on the true optimum.
+
+    Args:
+      arrays/espec: the (scaled) instance arrays and epigraph spec shared
+        by the replications.
+      states: final per-replication SDState (e.g. SDReplications.states).
+      obj_scale: the solver's objective normalization factor.
+      confidence: two-sided Student-t confidence level for the half-width
+        (the one-sided coverage of ``lb_cert`` is then (1+conf)/2).
+
+    Returns a dict with:
+      lb_cert       mean - half_width: the certified statistical bound
+      lb_mean       mean of the per-replication exact cut-model minima
+      lb_half_width t_{R-1} * std / sqrt(R)
+      lb_per_rep    the R deterministic per-replication bounds
+    """
+    R = len(states)
+    assert R >= 1
+    per_rep = np.array([
+        cut_model_min(arrays, espec, s, obj_scale=obj_scale,
+                      check_validity=(r == 0))
+        for r, s in enumerate(states)])
+    return t_lower_bound(per_rep, confidence)
