@@ -237,8 +237,12 @@ def solve_batch(lp: PreparedLP, H: jax.Array, config: PDHGConfig = PDHGConfig(),
     # step's 2EB-element solves run thousands of sequential iterations
     # where the VMEM-resident round is ~4x faster than the XLA loop
     # (padding 2 -> 128 instead was measured SLOWER: 89 vs 102 it/s).
+    # f32-only: the VMEM kernel's carries are f32 (an f64 lp on the TPU
+    # backend — e.g. the MC evaluator's escalation re-solve — must take
+    # the XLA path or the kernel trace fails on mismatched carry dtypes)
     use_pallas = (bool(config.use_pallas)
-                  and jax.default_backend() == "tpu")
+                  and jax.default_backend() == "tpu"
+                  and dtype == jnp.float32)
     if use_pallas:
         from sqlp_tpu.ops.pallas.pdhg_kernel import (
             pdhg_round_pallas, pdhg_round_pallas_halpern, pick_blk)

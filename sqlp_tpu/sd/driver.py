@@ -328,16 +328,19 @@ class SDSolver:
                              obj_scale=self.obj_scale)
 
     def saa_lower_bound(self, max_rounds: int = 24,
-                        gap_tol: float = 1e-4) -> Dict:
-        """Benders-polished deterministic bound on this run's SAA optimum:
-        Kelley rounds on the stored scenario stream tighten the cut model
-        before taking its exact minimum (sd/lower_bound.py:saa_polish).
-        Returns the polish dict; ``lb_per_rep[0]`` is the bound."""
+                        gap_tol: float = 1e-4,
+                        extra_scenarios: int = 0, seed: int = 9000) -> Dict:
+        """Level-bundle-polished deterministic bound on this run's SAA
+        optimum: stabilized Benders rounds on the (optionally extended)
+        scenario stream tighten the cut model before taking its exact
+        minimum (sd/lower_bound.py:saa_polish). Returns the polish dict;
+        ``lb_per_rep[0]`` is the bound."""
         from sqlp_tpu.sd.lower_bound import saa_polish
         return saa_polish(self.arrays, self.scenario_model, self.espec,
                           self.prep_sub, [self.state], self.config,
                           obj_scale=self.obj_scale, max_rounds=max_rounds,
-                          gap_tol=gap_tol)
+                          gap_tol=gap_tol, extra_scenarios=extra_scenarios,
+                          seed=seed)
 
     def _warmstart_pool(self) -> Optional[np.ndarray]:
         """Live dual-vertex pool [n_duals, m2] (f64, host) for MC-retry
@@ -349,19 +352,40 @@ class SDSolver:
             return None
         return np.asarray(to_host(self.state.duals)[:n_duals], np.float64)
 
+    @property
+    def _prep_sub64(self):
+        """f64 PreparedLP for the MC evaluator's escalation re-solve,
+        built lazily (most runs never need it)."""
+        cached = getattr(self, "_prep_sub64_cache", None)
+        if cached is None:
+            a = self.arrays_local
+            cached = prepare_lp(
+                jnp.asarray(np.asarray(a.W, np.float64)),
+                a.senses2,
+                jnp.asarray(np.asarray(a.q, np.float64)),
+                jnp.asarray(np.asarray(a.lb2, np.float64)),
+                jnp.asarray(np.asarray(a.ub2, np.float64)),
+                ruiz_iters=self.config.pdhg.ruiz_iters)
+            self._prep_sub64_cache = cached
+        return cached
+
     def _recourse_objs(self, H, Q=None) -> np.ndarray:
         """Recourse objectives for an RHS panel, certified per element.
         ``Q`` ([B, n2], optional): per-scenario objectives on random-cost
-        instances — threaded through the device solve, the device retry,
+        instances — threaded through the device solve, the device retries,
         and the exact host fallback.
 
         The SD step gates dual-pool admission on ``pdhg_valid``; the MC
         estimators must apply the same standard (ADVICE r1: silently
         averaging unconverged elements biases the upper bound that drives
         the --stop-gap rule). Elements the first-order kernel could not
-        certify to ``valid_tol`` are re-solved exactly on the host — an
-        unbiased repair, unlike excluding them (hard scenarios are not
-        exchangeable with easy ones).
+        certify to ``valid_tol`` walk a device escalation ladder —
+        (1) re-solve with a pool-argmax dual warm start, (2) re-solve the
+        residue in f64 (no f32 residual floor, so ``valid_tol`` is
+        reachable; Pallas auto-disabled) — before the serial exact host
+        fallback, which is retained as a guarded exceptional path only
+        (VERDICT r3: it used to fire on ~100/4096 elements every bench
+        evaluation; the f64 rung clears those on device).
         """
         from sqlp_tpu.models.routines import solve_lp_host
 
@@ -416,11 +440,34 @@ class SDSolver:
             if pool is not None:
                 L0 = jnp.asarray(pool[np.argmax(pool @ Hn[idx].T, axis=0)],
                                  self.config.jdtype)
-            obj_r, _, _, st_r = solve_batch(self.prep_sub, Hb,
-                                            self.config.pdhg, L0=L0, Q=Qb)
+            obj_r, Y_r, Pi_r, st_r = solve_batch(self.prep_sub, Hb,
+                                                 self.config.pdhg, L0=L0,
+                                                 Q=Qb)
             fixed = np.asarray(st_r["pdhg_valid"])[:bad.size]
             vals[bad[fixed]] = np.asarray(obj_r, np.float64)[:bad.size][fixed]
+            rem_pos = np.flatnonzero(~fixed)    # retry-bucket positions
             bad = bad[~fixed]
+            if bad.size:
+                # f64 escalation: the f32 residuals of the remaining
+                # stragglers typically FLOOR just above valid_tol (more
+                # iterations cannot help); one double-precision re-solve
+                # warm-started from the f32 iterate clears them on device
+                # (ssn bench panels: ~100/4096 residual host solves -> 0)
+                bucket2 = max(32, 1 << (int(bad.size) - 1).bit_length())
+                idx2 = np.pad(bad, (0, bucket2 - bad.size), mode="edge")
+                pos2 = np.pad(rem_pos, (0, bucket2 - rem_pos.size),
+                              mode="edge")
+                Y64 = np.asarray(Y_r, np.float64)[pos2]
+                P64 = np.asarray(Pi_r, np.float64)[pos2]
+                obj2, _, _, st2 = solve_batch(
+                    self._prep_sub64, jnp.asarray(Hn[idx2]),
+                    self.config.pdhg,
+                    Y0=jnp.asarray(Y64), L0=jnp.asarray(P64),
+                    Q=None if Qn is None else jnp.asarray(Qn[idx2]))
+                fixed2 = np.asarray(st2["pdhg_valid"])[:bad.size]
+                vals[bad[fixed2]] = \
+                    np.asarray(obj2, np.float64)[:bad.size][fixed2]
+                bad = bad[~fixed2]
         if bad.size:
             a = self.arrays_local
             q = np.asarray(a.q, np.float64)
@@ -441,8 +488,10 @@ class SDSolver:
             warnings.warn(
                 f"{bad.size}/{len(vals)} recourse LPs missed "
                 f"valid_tol={self.config.pdhg.valid_tol:g} in the MC "
-                f"evaluator (after a device retry); re-solved exactly "
-                f"on host")
+                f"evaluator even after the full device escalation ladder "
+                f"(pool-warm-started f32 retry, then f64 re-solve) — "
+                f"re-solved exactly on host. This should not happen on "
+                f"healthy instances; check the PDHG stats for this panel")
         return vals
 
     def _cost_panel(self, deltas):
@@ -668,7 +717,9 @@ class SDReplications(SDSolver):
 
     def certified_lower_bound(self, confidence: float = 0.95,
                               polish_rounds: int = 24,
-                              gap_tol: float = 1e-4) -> Dict:
+                              gap_tol: float = 1e-4,
+                              extra_scenarios: int = 0,
+                              seed: int = 9000) -> Dict:
         """Replication-based Student-t confidence lower bound on the TRUE
         optimum: each replication's exact cut-model minimum is a
         deterministic bound on its SAA optimum, and i.i.d. sampling gives
@@ -676,8 +727,11 @@ class SDReplications(SDSolver):
         (default on), each replication's model is first Benders-polished
         toward its SAA optimum on the stored scenario stream — all
         replications' recourse panels solve in one batched device call
-        per round. Returns lb_cert / lb_mean / lb_half_width /
-        lb_per_rep (+ polish diagnostics)."""
+        per round. ``extra_scenarios`` extends each replication's
+        certification stream with fresh i.i.d. draws (smaller SAA bias
+        and spread; the SD cuts are then excluded from the model —
+        sd/lower_bound.py:saa_polish). Returns lb_cert / lb_mean /
+        lb_half_width / lb_per_rep (+ polish diagnostics)."""
         from sqlp_tpu.sd.lower_bound import (certified_lower_bound,
                                              saa_polish, t_lower_bound)
         if polish_rounds <= 0:
@@ -687,11 +741,13 @@ class SDReplications(SDSolver):
         pol = saa_polish(self.arrays, self.scenario_model, self.espec,
                          self.prep_sub, self.states, self.config,
                          obj_scale=self.obj_scale,
-                         max_rounds=polish_rounds, gap_tol=gap_tol)
+                         max_rounds=polish_rounds, gap_tol=gap_tol,
+                         extra_scenarios=extra_scenarios, seed=seed)
         out = t_lower_bound(pol["lb_per_rep"], confidence)
         out["saa_ub_per_rep"] = pol["saa_ub_per_rep"]
         out["polish_rounds"] = pol["rounds"]
         out["polish_gap_per_rep"] = pol["gap_per_rep"]
+        out["n_scenarios"] = pol["n_scenarios"]
         return out
 
     @property

@@ -68,6 +68,7 @@ def _np64(a) -> np.ndarray:
 def cut_model_min(arrays, espec, state, obj_scale: float = 1.0,
                   check_validity: bool = True,
                   extra_cuts: Optional[Sequence] = None,
+                  include_state_cuts: bool = True,
                   return_x: bool = False):
     """Exact minimum of the cut model over the first-stage polytope.
 
@@ -84,6 +85,10 @@ def cut_model_min(arrays, espec, state, obj_scale: float = 1.0,
     ``extra_cuts``: optional additional FULL-WEIGHT cuts per epigraph,
     ``[(e, alpha, beta), ...]`` in scaled units — the SAA-polish cuts
     (:func:`saa_polish`) enter the model through this.
+    ``include_state_cuts=False`` drops the SD run's own cut pool and
+    incumbent cuts from the model (keeping stage-1 rows, eta >= lb_e,
+    and the extra cuts): required when the extra cuts certify an
+    EXTENDED scenario stream the SD cuts are not valid for.
 
     Returns the unscaled optimal value — a deterministic lower bound on
     the replication's SAA optimum (module docstring) — or, with
@@ -149,7 +154,7 @@ def cut_model_min(arrays, espec, state, obj_scale: float = 1.0,
         else:                                    # '<='
             rows_ub.append(row)
             rhs_ub.append(b1[i])
-    for e in range(E):
+    for e in range(E if include_state_cuts else 0):
         d = cut_mark[e] / total_w[e]
         for k in range(cut_alpha.shape[1]):
             if not cut_live[e, k]:
@@ -196,42 +201,66 @@ def cut_model_min(arrays, espec, state, obj_scale: float = 1.0,
 
 def saa_polish(arrays, scenario_model, espec, prep_sub, states: Sequence,
                config, obj_scale: float = 1.0, max_rounds: int = 24,
-               gap_tol: float = 1e-4) -> Dict:
-    """Benders-polish each replication's cut model toward its SAA optimum.
+               gap_tol: float = 1e-4, extra_scenarios: int = 0,
+               seed: int = 9000, level_lambda: float = 0.3,
+               qp_rows_cap: int = 64) -> Dict:
+    """Level-bundle polish: drive each replication's certified lower bound
+    toward its SAA optimum v_N.
 
     The SD run's final cut model is only tight near its iterates — its
-    exact minimum can sit far below the replication's SAA optimum v_N
-    (the quantity the statistical bound wants). This routine runs Kelley/
-    Benders rounds ON THE STORED SCENARIO STREAM: each round solves every
-    replication's full recourse panel at its current model argmin in ONE
-    batched device call (R*E*N LPs — the same kernel the SD step uses,
-    so a round costs ~N/throughput seconds), assembles one exact
-    full-weight average cut per (replication, epigraph) on the host in
-    f64, and re-minimizes. The model minimum increases monotonically and
-    every intermediate value is already a valid bound on v_N, so the
-    polish can stop on any budget; the Kelley gap against the exact SAA
-    value at the argmin (also free from the same panel solve) is the
-    stopping signal.
+    exact minimum can sit far below v_N, and plain Kelley iteration
+    (evaluate at the model argmin) stalls in high first-stage dimension:
+    the argmin flies to uncovered corners of the polytope where the SAA
+    value is terrible (measured on ssn, n1=89: relative gap ~0.95 after
+    24 Kelley rounds). This routine is the classic LEVEL METHOD
+    (Lemarechal–Nemirovskii–Nesterov) instead:
+
+      round 1   evaluate at the replication's incumbent (strong first
+                cut + finite upper bound);
+      round k   lb_r = exact model minimum (host HiGHS f64 — the VALID
+                bound, monotone); evaluation point = projection of the
+                previous point onto the level set
+                {model <= lb + level_lambda*(ub - lb)}, an R-batched
+                on-device ADMM QP (the same solver the SD master uses);
+      each round solves every replication's FULL recourse panel at its
+      evaluation point in ONE batched device call and adds one exact
+      full-weight average cut per (replication, epigraph), assembled on
+      the host in f64.
+
+    ``extra_scenarios > 0`` EXTENDS each replication's certification
+    stream with that many fresh i.i.d. scenarios per epigraph (distinct
+    seeds per replication). The SD run's own cuts are then dropped from
+    the model (they are valid only for the run's stream) and the bound
+    certifies v_{N+extra} — a larger sample, hence smaller SAA bias and
+    smaller cross-replication spread for the Student-t aggregation, at
+    the cost of a colder start (the stabilized bundle re-tightens in a
+    few rounds). Requires unit scenario weights.
 
     Validity matches :func:`cut_model_min`'s argument: each per-scenario
     dual is epsilon-feasible (elements the kernel could not certify fall
     back to the replication's best pool vertex — feasible by pool
     construction — or to ``seed_dual`` on random-cost instances), and the
-    cuts average the FULL stored stream at full weight, so the polished
-    model minimum still under-estimates v_N.
+    polish cuts average the FULL certification stream at full weight, so
+    every reported model minimum under-estimates v_N. The projection QP
+    only picks evaluation points and needs no accuracy guarantees.
 
-    Returns (all in unscaled objective units):
+    Returns (bounds in unscaled objective units):
       lb_per_rep      final exact cut-model minima, one per replication
       saa_ub_per_rep  best exact-sample SAA value found per replication
                       (an upper bound on v_N, NOT on the true optimum)
-      gap_per_rep     final relative Kelley gap per replication
+      gap_per_rep     final relative level gap per replication
       rounds          rounds executed
+      n_scenarios     certification-stream length per epigraph
     """
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
-    from sqlp_tpu.models.scenario import cost_panel
+    from sqlp_tpu.models.routines import project_first_stage
+    from sqlp_tpu.models.scenario import cost_panel, sample_deltas
     from sqlp_tpu.ops.pdhg import solve_batch
+    from sqlp_tpu.ops.prox_qp import solve_qp
     from sqlp_tpu.sd.algorithm import _scenario_rhs
 
     R = len(states)
@@ -240,13 +269,19 @@ def saa_polish(arrays, scenario_model, espec, prep_sub, states: Sequence,
     for s in states:
         assert np.array_equal(np.asarray(s.n_scen), n_scen), \
             "replications must share scenario counts (same run length)"
-    N = int(n_scen.max())
-    assert int(n_scen.min()) == N, "per-epigraph scenario counts differ"
+    N_sd = int(n_scen.max())
+    assert int(n_scen.min()) == N_sd, "per-epigraph scenario counts differ"
 
     r64 = _np64(arrays.r)
     T64 = _np64(arrays.T)
     w_e = _np64(espec.obj_weight)
+    lb_e = _np64(espec.lower_bound)
     c64 = _np64(arrays.c)
+    A1 = _np64(arrays.A1)
+    b1 = _np64(arrays.b1)
+    senses1 = np.asarray(arrays.senses1)
+    lb1 = _np64(arrays.lb1)
+    ub1 = _np64(arrays.ub1)
     rv_row = np.asarray(scenario_model.rv_row)
     rv_col = np.asarray(scenario_model.rv_col)
     rv_is_rhs = np.asarray(scenario_model.rv_is_rhs)
@@ -254,16 +289,33 @@ def saa_polish(arrays, scenario_model, espec, prep_sub, states: Sequence,
                   if scenario_model.has_cost
                   else np.zeros_like(rv_is_rhs))
     n1 = c64.shape[0]
+    m1 = b1.shape[0]
 
-    # [R, E, N, Rv] stored deltas + weights (host f64 for the cut math,
-    # device copy for the RHS panels)
-    deltas_h = np.stack([_np64(s.scen_deltas)[:, :N] for s in states])
-    weights_h = np.stack([_np64(s.scen_weights)[:, :N] for s in states])
+    # ---- certification streams: stored panel (+ optional fresh i.i.d.
+    # extension, distinct keys per (replication, epigraph))
+    deltas_h = np.stack([_np64(s.scen_deltas)[:, :N_sd] for s in states])
+    weights_h = np.stack([_np64(s.scen_weights)[:, :N_sd] for s in states])
+    include_state_cuts = extra_scenarios <= 0
+    if extra_scenarios > 0:
+        assert np.allclose(weights_h, 1.0, atol=1e-9), (
+            "extended certification streams require unit scenario "
+            "weights (plain i.i.d. sampling)")
+        key = jax.random.PRNGKey(seed)
+        extras = np.stack([
+            np.stack([
+                np.asarray(sample_deltas(
+                    jax.random.fold_in(key, r * E + e), scenario_model,
+                    extra_scenarios), np.float64)
+                for e in range(E)])
+            for r in range(R)])                        # [R, E, Nx, Rv]
+        deltas_h = np.concatenate([deltas_h, extras], axis=2)
+        weights_h = np.concatenate(
+            [weights_h, np.ones(extras.shape[:3])], axis=2)
+    N = deltas_h.shape[2]
     p_h = weights_h / np.maximum(
-        weights_h.sum(axis=2, keepdims=True), 1e-30)        # [R, E, N]
-    deltas_d = jnp.asarray(
-        np.stack([np.asarray(s.scen_deltas)[:, :N] for s in states]))
+        weights_h.sum(axis=2, keepdims=True), 1e-30)   # [R, E, N]
     dt = np.asarray(arrays.c).dtype
+    deltas_d = jnp.asarray(deltas_h, dt)               # [R, E, N, Rv]
 
     if scenario_model.has_cost:
         Q = cost_panel(scenario_model,
@@ -275,32 +327,98 @@ def saa_polish(arrays, scenario_model, espec, prep_sub, states: Sequence,
         fallback = None
 
     # per-replication live pools for the epsilon-feasible dual fallback
-    pools = [ _np64(s.duals)[:max(int(np.asarray(s.n_duals)), 1)]
-              for s in states]
+    pools = [_np64(s.duals)[:max(int(np.asarray(s.n_duals)), 1)]
+             for s in states]
 
     rhs_fn = jax.jit(lambda d, x: _scenario_rhs(
         arrays, scenario_model, d, x))
 
+    # ---- R-batched level-projection QP (static shapes: the polish-cut
+    # block is a ring buffer of qp_rows_cap rows, masked while empty)
+    nz = n1 + E
+    n_rows = m1 + n1 + E + qp_rows_cap + 1
+    p_diag = jnp.asarray(
+        np.concatenate([np.ones(n1), np.zeros(E)]), dt)
+    is_eq = jnp.asarray(
+        np.concatenate([senses1 == 0, np.zeros(n_rows - m1, bool)]))
+    A_base = np.zeros((n_rows, nz))
+    l_base = np.full(n_rows, -np.inf)
+    u_base = np.full(n_rows, np.inf)
+    A_base[:m1, :n1] = A1
+    l_base[:m1] = np.where(senses1 == -1, -np.inf, b1)   # '<=' rows
+    u_base[:m1] = np.where(senses1 == 1, np.inf, b1)     # '>=' rows
+    A_base[m1:m1 + n1, :n1] = np.eye(n1)
+    l_base[m1:m1 + n1] = lb1
+    u_base[m1:m1 + n1] = ub1
+    A_base[m1 + n1:m1 + n1 + E, n1:] = np.eye(E)
+    l_base[m1 + n1:m1 + n1 + E] = lb_e
+    A_base[-1] = np.concatenate([c64, w_e])              # level row
+    A_b = np.broadcast_to(A_base, (R,) + A_base.shape).copy()
+    l_b = np.broadcast_to(l_base, (R, n_rows)).copy()
+    u_b = np.broadcast_to(u_base, (R, n_rows)).copy()
+
+    qp_cfg = dataclasses.replace(config.qp, warm_retry=False)
+    proj_qp = jax.jit(jax.vmap(
+        lambda g, A, l, u, z0, mu0: solve_qp(
+            p_diag, g, A, l, u, is_eq, qp_cfg, z0=z0, mu0=mu0)))
+    z0 = jnp.zeros((R, nz), dt)
+    mu0 = jnp.zeros((R, n_rows), dt)
+
     cuts: list = [[] for _ in range(R)]
+    ring = 0                                           # next QP cut slot
+    centers = np.stack([_np64(s.x_incumbent) for s in states])
     lb = np.full(R, -np.inf)
     ub = np.full(R, np.inf)
     gap = np.full(R, np.inf)
+    x_kelley = centers.copy()
     Y0 = L0 = None
     rounds = 0
+
+    assert qp_rows_cap >= E, "qp_rows_cap must hold one round of cuts"
+
+    def model_min(r):
+        return cut_model_min(
+            arrays, espec, states[r], check_validity=False,
+            extra_cuts=cuts[r], include_state_cuts=include_state_cuts,
+            return_x=True)
+
     for rounds in range(1, max_rounds + 1):
-        xs = np.zeros((R, n1))
-        for r in range(R):
-            lb[r], xs[r], _ = cut_model_min(
-                arrays, espec, states[r], check_validity=False,
-                extra_cuts=cuts[r], return_x=True)
+        if include_state_cuts or cuts[0]:
+            for r in range(R):
+                lb[r], x_kelley[r], _ = model_min(r)
+        else:
+            # extended-stream mode, round 1: no polish cuts exist yet and
+            # the SD cuts are excluded, so there is no model to minimize
+            lb[:] = -np.inf
         if rounds > 1:
             gap = (ub - lb) / (1.0 + np.abs(ub))
             if gap.max() <= gap_tol:
                 rounds -= 1
                 break
+        if rounds == 1:
+            X = centers
+        else:
+            # level projection of the previous point (batched ADMM QP)
+            level = lb + level_lambda * (ub - lb)
+            g_b = np.concatenate([-centers, np.zeros((R, E))], axis=1)
+            u_b[:, -1] = level
+            z, mu, qstats = proj_qp(
+                jnp.asarray(g_b, dt), jnp.asarray(A_b, dt),
+                jnp.asarray(l_b, dt), jnp.asarray(u_b, dt), z0, mu0)
+            z0, mu0 = z, mu
+            Xq = np.asarray(z, np.float64)[:, :n1]
+            X = np.zeros_like(centers)
+            for r in range(R):
+                xr = Xq[r]
+                if not np.all(np.isfinite(xr)):
+                    # degenerate projection: fall back to a stabilized
+                    # Kelley step along the segment toward the argmin
+                    xr = 0.7 * centers[r] + 0.3 * x_kelley[r]
+                xr = np.clip(xr, lb1, ub1)
+                X[r], _ = project_first_stage(arrays, xr)
         H = jnp.concatenate([
             rhs_fn(deltas_d[r].reshape(E * N, -1),
-                   jnp.asarray(xs[r], dt)) for r in range(R)])
+                   jnp.asarray(X[r], dt)) for r in range(R)])
         obj, Y, Pi, stats = solve_batch(prep_sub, H, config.pdhg,
                                         Y0=Y0, L0=L0, Q=Q)
         Y0, L0 = Y, Pi
@@ -339,22 +457,34 @@ def saa_polish(arrays, scenario_model, espec, prep_sub, states: Sequence,
                               p[:, None] * d_re * pi_rows)   # [N, Rv]
                 np.subtract.at(beta, rv_col, tr.sum(axis=0))
                 cuts[r].append((e, alpha, beta))
-            # exact-sample SAA value at x_r (the Kelley upper bound; the
+                # mirror into the QP's ring buffer (eta_e - beta@x >= a)
+                row = m1 + n1 + E + ((ring + e) % qp_rows_cap)
+                A_b[r, row, :n1] = -beta
+                A_b[r, row, n1:] = 0.0
+                A_b[r, row, n1 + e] = 1.0
+                l_b[r, row] = alpha
+                u_b[r, row] = np.inf
+            # exact-sample SAA value at X[r] (the level upper bound; the
             # small PDHG objective error only moves the STOPPING signal)
-            val = c64 @ xs[r] + float(w_e @ (
+            val = c64 @ X[r] + float(w_e @ (
                 np.sum(p_h[r] * obj_h[r], axis=1)))
             ub[r] = min(ub[r], val)
+        ring += E
+        centers = X
 
     for r in range(R):
         lb[r], _, _ = cut_model_min(
-            arrays, espec, states[r], check_validity=(r == 0),
-            extra_cuts=cuts[r], return_x=True)
+            arrays, espec, states[r],
+            check_validity=(r == 0 and include_state_cuts),
+            extra_cuts=cuts[r], include_state_cuts=include_state_cuts,
+            return_x=True)
     gap = (ub - lb) / (1.0 + np.abs(ub))
     return {
         "lb_per_rep": lb * obj_scale,
         "saa_ub_per_rep": ub * obj_scale,
         "gap_per_rep": gap,
         "rounds": rounds,
+        "n_scenarios": N,
     }
 
 

@@ -167,6 +167,25 @@ def test_certified_bound_replications_newsvendor():
     assert raw["lb_mean"] <= out["lb_mean"] + 1e-8
 
 
+def test_certified_bound_extended_stream_newsvendor():
+    """extra_scenarios mode: the SD cuts are excluded, the polish
+    certifies v_{N+extra} from its own cuts alone, and the bound must
+    respect the exact optimum 1.0 with a tight polish gap."""
+    require_instance("newsvendor")
+    inst = load_instance("newsvendor", dtype=jnp.float64)
+    cfg = _CFG.replace(max_scenarios=256)
+    s = SDReplications(inst, cfg, n_replications=3, seed=21)
+    s.run(100)
+    out = s.certified_lower_bound(polish_rounds=16, extra_scenarios=412)
+    assert out["n_scenarios"] == 512
+    # polish converged on the tiny instance: lb == exact SAA value at
+    # the final point (within tolerance), and the larger sample keeps
+    # the per-replication optima near the true 1.0
+    assert np.all(out["polish_gap_per_rep"] < 1e-3)
+    assert np.all(np.abs(out["lb_per_rep"] - 1.0) < 0.2)
+    assert out["lb_cert"] <= 1.0 + 0.05
+
+
 def test_certified_bound_single_replication_warns():
     require_instance("lands")
     inst = load_instance("lands", dtype=jnp.float64)
