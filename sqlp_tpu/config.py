@@ -192,6 +192,18 @@ class SDConfig:
     # --- incumbent cut refresh (sd_iteration! kwarg, algorithm.jl:40) ---
     update_incumbent_cut: bool = True
 
+    # --- periodic full-pool cut refresh ---
+    # Every N iterations, rebuild every LIVE stored cut at its original
+    # generating point (state.cut_x) against the CURRENT dual pool and
+    # scenario store, resetting its weight_mark to the current total —
+    # undoing the classic SD 1/N cut decay for the whole pool, not just
+    # the incumbent cut (generalizes the reference's incumbent-only
+    # regeneration, epigraph.jl:83). Refreshed cuts are ordinary SASA
+    # cuts at the stored points, so validity is unchanged. Cost: one
+    # batched argmax matmul sweep over the E*K stored points per refresh.
+    # 0 disables (reference-parity default).
+    cut_refresh_every: int = 0
+
     # --- subproblem dual warm start ---
     # Warm-start each SD-step subproblem dual at the pool's argmax vertex
     # for its RHS instead of the previous iteration's dual. SD's core
@@ -218,6 +230,14 @@ class SDConfig:
     # off (a pool that rejected 64 straight rounds will not start
     # accepting as duals get harder). 0 disables the gate.
     crossover_dry_limit: int = 64
+    # Once the f32 acceptance runs dry, re-run the rounding in emulated
+    # f64 on the SD step's small panel instead of skipping it (VERDICT
+    # r3: on storm the f32 test passes 0/96 duals and the gate just
+    # turns sharpening off). The f64 active-set solves reach the 1e-6
+    # dual-feasibility acceptance where f32 floors. Costs an emulated
+    # [m2, m2] factorization per sweep; off by default — enable per
+    # instance after an A/B (RESULTS.md r4 records the storm numbers).
+    crossover_f64_fallback: bool = False
 
     # --- numerics ---
     dtype: str = "float32"

@@ -46,10 +46,15 @@ def _flip(senses, M, dtype):
     return f, f[:, None] * M
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "return_duals"))
 def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
                          deltas: jax.Array, probs: jax.Array,
-                         config: PDHGConfig = PDHGConfig()
+                         config: PDHGConfig = PDHGConfig(),
+                         return_duals: bool = False,
+                         x0: jax.Array | None = None,
+                         Y0: jax.Array | None = None,
+                         U0: jax.Array | None = None,
+                         u00: jax.Array | None = None
                          ) -> Tuple[jax.Array, jax.Array, dict]:
     """Solve the extensive form over a fixed scenario panel.
 
@@ -58,8 +63,21 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
       deltas: [S, R] raw scenario deltas (value - template).
       probs: [S] scenario probabilities (sum to 1).
       config: PDHG parameters.
+      x0/Y0/U0/u00: optional warm starts in ORIGINAL units (e.g. a previous
+        lower-precision solve's outputs — the f64 certificate refinement
+        in sd/lower_bound.py continues from the f32 solution).
+      return_duals: also return the best iterate's per-scenario EF duals
+        [S, m2] AND second-stage blocks [S, n2], unscaled to the original
+        rows/columns/objective (duals in the d(obj)/d(rhs) convention,
+        like ops/pdhg.py). These are the certificate the SAA lower bound
+        builds its aggregate cut from (sd/lower_bound.py:saa_ef_bound):
+        W' (pi_s / probs_s) <= q holds to the solve tolerance (the f64
+        warm-started refinement pass there pushes the residual to ~1e-6
+        relative), and the duality gap bounds how far the aggregate
+        cut's model minimum sits below the EF optimum.
 
-    Returns: (x [n1], objective, stats).
+    Returns: (x [n1], objective, stats[, duals, Y, u0]) — ``u0`` being
+    the stage-1 row duals, accepted back as the ``u00`` warm start.
     """
     dtype = arrays.c.dtype
     S = deltas.shape[0]
@@ -168,9 +186,10 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
         nrm = jnp.sqrt(jnp.sum(x * x) + jnp.sum(Y * Y))
         return x / jnp.maximum(nrm, 1e-30), Y / jnp.maximum(nrm, 1e-30)
 
-    x0 = jnp.cos(jnp.arange(n1, dtype=dtype) * 0.7 + 0.3)
-    Y0 = jnp.cos(jnp.arange(S * n2, dtype=dtype) * 0.3 + 0.1).reshape(S, n2)
-    xv, Yv = jax.lax.fori_loop(0, 48, power_body, (x0, Y0))
+    # NOTE: fresh names — x0/Y0 are the caller's warm-start parameters
+    xp = jnp.cos(jnp.arange(n1, dtype=dtype) * 0.7 + 0.3)
+    Yp = jnp.cos(jnp.arange(S * n2, dtype=dtype) * 0.3 + 0.1).reshape(S, n2)
+    xv, Yv = jax.lax.fori_loop(0, 48, power_body, (xp, Yp))
     u0, U = K_apply(xv, Yv)
     Kt_x, Kt_Y = Kt_apply(u0, U)
     norm = jnp.sqrt(jnp.sqrt(jnp.sum(Kt_x ** 2) + jnp.sum(Kt_Y ** 2)))
@@ -264,7 +283,8 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
         return jnp.logical_and(c[-2] < n_rounds, c[-1] > config.tol)
 
     def round_step(c):
-        x, Y, u0, U, xb, Yb, omega, err_r, err_last, it, err_best = c
+        (x, Y, u0, U, xb, Yb, Ub, ub0, omega, err_r, err_last, it,
+         err_best) = c
         (x1, Y1, u01, U1), (xa, Ya, ua, Ua) = pd_round((x, Y, u0, U), omega)
         ec, _ = residual(x1, Y1, u01, U1)
         ea, _ = residual(xa, Ya, ua, Ua)
@@ -277,6 +297,8 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
         better = err < err_best
         xb = jnp.where(better, xc, xb)
         Yb = jnp.where(better, Yc, Yb)
+        Ub = jnp.where(better, Uc, Ub)
+        ub0 = jnp.where(better, uc, ub0)
         err_best = jnp.minimum(err, err_best)
         restart = jnp.logical_or(err <= 0.2 * err_r,
                                  jnp.logical_and(err <= 0.8 * err_r,
@@ -295,22 +317,51 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
         U = jnp.where(restart, Uc, U1)
         omega = jnp.where(restart, omega_new, omega)
         err_r = jnp.where(restart, err, err_r)
-        return (x, Y, u0, U, xb, Yb, omega, err_r, err, it + 1, err_best)
+        return (x, Y, u0, U, xb, Yb, Ub, ub0, omega, err_r, err, it + 1,
+                err_best)
 
-    xi = jnp.clip(jnp.zeros((n1,), dtype), lb1, ub1)
-    Yi = jnp.clip(jnp.zeros((S, n2), dtype), lb2, ub2)
+    if x0 is None:
+        xi = jnp.clip(jnp.zeros((n1,), dtype), lb1, ub1)
+    else:
+        xi = jnp.clip(x0.astype(dtype) / cx, lb1, ub1)
+    if Y0 is None:
+        Yi = jnp.clip(jnp.zeros((S, n2), dtype), lb2, ub2)
+    else:
+        Yi = jnp.clip(Y0.astype(dtype) / cy[None, :], lb2, ub2)
+    if U0 is None:
+        Ui = jnp.zeros((S, m2), dtype)
+    else:
+        # invert the dual unscaling below (duals = Ub * r2 * f2 * obj_s)
+        Ui = proj_dual(jnp.zeros((m1,), dtype),
+                       U0.astype(dtype) * f2[None, :]
+                       / (r2[None, :] * obj_s))[1]
+    if u00 is None:
+        u0i = jnp.zeros((m1,), dtype)
+    else:
+        u0i = proj_dual(u00.astype(dtype) * f1 / (r1 * obj_s), Ui)[0]
     inf = jnp.asarray(jnp.inf, dtype)
-    c0 = (xi, Yi, jnp.zeros((m1,), dtype), jnp.zeros((S, m2), dtype),
-          xi, Yi, omega_init, inf, inf,
+    c0 = (xi, Yi, u0i, Ui,
+          xi, Yi, jnp.zeros((S, m2), dtype), u0i, omega_init, inf, inf,
           jnp.zeros((), jnp.int32), inf)
+    err0, _ = residual(xi, Yi, u0i, Ui)
     out = jax.lax.while_loop(cond, round_step, c0)
-    x, Y, u0, U, xb, Yb, omega, err_r, err_last, rounds, err_best = out
+    (x, Y, u0, U, xb, Yb, Ub, ub0, omega, err_r, err_last, rounds,
+     err_best) = out
 
     obj = (_dot(arrays.c, xb) + jnp.sum(qS * Yb)) * obj_s
     stats = {"ef_iters": rounds * config.restart_every,
              "ef_err": err_best,
+             "ef_err0": err0,
              "ef_converged": err_best <= config.tol}
     # xb lives in column-scaled space; undo for the caller
+    if return_duals:
+        # scenario-row duals back to original rows/objective: the rows
+        # were scaled by r2 and sense-flipped by f2, the objective by
+        # 1/obj_s — same unscale pattern as ops/pdhg.py (Pi_out =
+        # L * row_scale * flip); the y blocks undo the column scaling
+        duals = Ub * (r2 * f2)[None, :] * obj_s
+        return (cx * xb, obj, stats, duals, cy[None, :] * Yb,
+                ub0 * (r1 * f1) * obj_s)
     return cx * xb, obj, stats
 
 

@@ -85,6 +85,7 @@ def state_pspecs(axis_name: str = SCENARIO_AXIS,
         duals=d, duals_rounded=d, n_duals=r, duals_dropped=r,
         duals_score=d1,
         cut_alpha=r, cut_beta=r, cut_mark=r, cut_live=r, cut_dual=r,
+        cut_x=r,
         inc_alpha=r, inc_beta=r, inc_valid=r,
         x_candidate=r, x_incumbent=r,
         cand_est=r, inc_est=r, req_improvement=r, is_improved=r,

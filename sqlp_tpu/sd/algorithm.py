@@ -94,6 +94,39 @@ def _quad_scalar_schedule(state: SDState, config: SDConfig):
     return new_qs, new_qs, new_normDk_1, new_init
 
 
+def _refresh_cuts(arrays: InstanceArrays, model: ScenarioModel,
+                  state: SDState) -> SDState:
+    """Rebuild every live stored cut at its generating point against the
+    CURRENT dual pool and scenario store, full weight (config
+    .cut_refresh_every). A refreshed cut is an ordinary SASA cut at the
+    stored x, so validity is untouched; the weight_mark reset removes
+    the accumulated 1/N decay (the reference regenerates only the
+    incumbent cut this way, epigraph.jl:83)."""
+    live = state.cut_live
+
+    def per_epi(sd, sw, tw, X):
+        return jax.vmap(lambda x: build_sasa_cut(
+            arrays, model, state.duals, state.n_duals, sd, sw, tw, x))(X)
+
+    cuts = jax.vmap(per_epi)(state.scen_deltas, state.scen_weights,
+                             state.total_weight, state.cut_x)
+    return _dc.replace(
+        state,
+        cut_alpha=jnp.where(live, cuts.alpha, state.cut_alpha),
+        cut_beta=jnp.where(live[..., None], cuts.beta, state.cut_beta),
+        cut_mark=jnp.where(live, state.total_weight[:, None],
+                           state.cut_mark))
+
+
+def _maybe_refresh(arrays, model, state, config, it_scalar):
+    """lax.cond gate for the periodic refresh (it_scalar: this step's
+    pre-increment iteration counter, shared across replications)."""
+    do = jnp.logical_and(
+        it_scalar > 0, it_scalar % config.cut_refresh_every == 0)
+    return jax.lax.cond(
+        do, lambda s: _refresh_cuts(arrays, model, s), lambda s: s, state)
+
+
 def _sample_and_rhs(arrays: InstanceArrays, model: ScenarioModel,
                     espec: EpigraphSpec, state: SDState, config: SDConfig,
                     deltas: jax.Array | None,
@@ -323,6 +356,9 @@ def _finish(arrays: InstanceArrays, model: ScenarioModel,
     cut_mark = state.cut_mark.at[e_idx, slots].set(total_weight)
     cut_dual = state.cut_dual.at[e_idx, slots].set(jnp.inf)
     cut_live = cut_live.at[e_idx, slots].set(True)
+    cut_x = state.cut_x.at[e_idx, slots].set(
+        jnp.broadcast_to(state.x_candidate,
+                         (E,) + state.x_candidate.shape))
 
     # ---- 6. refresh incumbent cut (epigraph.jl:83; algorithm.jl:82-84)
     if config.update_incumbent_cut:
@@ -336,6 +372,7 @@ def _finish(arrays: InstanceArrays, model: ScenarioModel,
     state_now = _dc.replace(
         state_last, cut_alpha=cut_alpha, cut_beta=cut_beta,
         cut_mark=cut_mark, cut_dual=cut_dual, cut_live=cut_live,
+        cut_x=cut_x,
         inc_alpha=inc_alpha, inc_beta=inc_beta, inc_valid=inc_valid)
 
     # ---- 7. incumbent selection (check_improvement, improvement.jl:19-49)
@@ -488,6 +525,9 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
     p_model / p_proposal — no per-iteration host round trip, so IS runs
     at full chunked speed. Mutually exclusive with explicit deltas.
     """
+    if config.cut_refresh_every > 0:
+        state = _maybe_refresh(arrays, model, state, config, state.it)
+
     key, store, H, L0, Q = _sample_and_rhs(arrays, model, espec, state,
                                            config, deltas, weights, proposal)
 
@@ -507,17 +547,40 @@ def sd_step(arrays: InstanceArrays, model: ScenarioModel, espec: EpigraphSpec,
         def _run_xover(_):
             return _sharpen_flat(arrays, H, sub_Y, Pi, None)
 
+        def _run_xover_f64(_):
+            # emulated-f64 rounding for panels whose f32 acceptance is
+            # floored (storm: dual-feasibility residuals stall ~1e-5
+            # against the 1e-6 acceptance; f64 has no such floor). The
+            # SD panel is tiny (2EB elements), so the f64 [m2, m2]
+            # factorizations are a fixed per-iteration cost — gated
+            # behind config.crossover_f64_fallback after the A/B.
+            from sqlp_tpu.ops.crossover import sharpen_duals
+            f8 = jnp.float64
+            Pi64, accept = sharpen_duals(
+                arrays.W.astype(f8), arrays.q.astype(f8), arrays.senses2,
+                arrays.lb2.astype(f8), arrays.ub2.astype(f8),
+                H.astype(f8), sub_Y.astype(f8), Pi.astype(f8))
+            return Pi64.astype(Pi.dtype), accept
+
         def _skip_xover(_):
             return Pi, jnp.zeros((Pi.shape[0],), bool)
 
         if config.crossover_dry_limit > 0:
             live = state.xover_dry < config.crossover_dry_limit
-            Pi_sharp, xover = jax.lax.cond(live, _run_xover, _skip_xover,
+            dry_branch = (_run_xover_f64 if config.crossover_f64_fallback
+                          else _skip_xover)
+            Pi_sharp, xover = jax.lax.cond(live, _run_xover, dry_branch,
                                            None)
         else:
+            live = jnp.asarray(True)
             Pi_sharp, xover = _run_xover(None)
         n_acc = jnp.sum(xover)
-        xover_dry = jnp.where(n_acc > 0, 0, state.xover_dry + 1)
+        # With the f64 fallback, acceptances on the DRY branch must not
+        # reset the counter — that would bounce the next iteration back
+        # to the floored f32 path and fire f64 only once per dry cycle.
+        reset = jnp.logical_and(live, n_acc > 0) \
+            if config.crossover_f64_fallback else (n_acc > 0)
+        xover_dry = jnp.where(reset, 0, state.xover_dry + 1)
     else:
         Pi_sharp = Pi
         xover_dry = state.xover_dry
@@ -552,6 +615,18 @@ def sd_step_replicated(arrays: InstanceArrays, model: ScenarioModel,
     """
     R = states.cut_alpha.shape[0]
     m2 = arrays.r.shape[0]
+
+    if config.cut_refresh_every > 0:
+        # replications run in lockstep, so the gate is uniform: cond on
+        # replication 0's counter, refresh all under vmap when it fires
+        do = jnp.logical_and(
+            states.it[0] > 0,
+            states.it[0] % config.cut_refresh_every == 0)
+        states = jax.lax.cond(
+            do,
+            lambda ss: jax.vmap(
+                lambda s: _refresh_cuts(arrays, model, s))(ss),
+            lambda ss: ss, states)
 
     key, store, H, L0, Q = jax.vmap(
         lambda st: _sample_and_rhs(arrays, model, espec, st, config,

@@ -44,6 +44,7 @@ def _merge_states(states: Sequence[SDState], especs: Sequence[EpigraphSpec],
         cut_mark=cat("cut_mark"),
         cut_live=cat("cut_live"),
         cut_dual=cat("cut_dual"),
+        cut_x=cat("cut_x"),
         inc_alpha=cat("inc_alpha"),
         inc_beta=cat("inc_beta"),
         inc_valid=cat("inc_valid"),

@@ -716,28 +716,49 @@ class SDReplications(SDSolver):
                 for r in range(self.n_replications)]
 
     def certified_lower_bound(self, confidence: float = 0.95,
+                              method: str = "ef",
                               polish_rounds: int = 24,
                               gap_tol: float = 1e-4,
                               extra_scenarios: int = 0,
-                              seed: int = 9000) -> Dict:
+                              seed: int = 9000, **kw) -> Dict:
         """Replication-based Student-t confidence lower bound on the TRUE
-        optimum: each replication's exact cut-model minimum is a
-        deterministic bound on its SAA optimum, and i.i.d. sampling gives
-        E[SAA optimum] <= v* (sd/lower_bound.py). With ``polish_rounds``
-        (default on), each replication's model is first Benders-polished
-        toward its SAA optimum on the stored scenario stream — all
-        replications' recourse panels solve in one batched device call
-        per round. ``extra_scenarios`` extends each replication's
-        certification stream with fresh i.i.d. draws (smaller SAA bias
-        and spread; the SD cuts are then excluded from the model —
-        sd/lower_bound.py:saa_polish). Returns lb_cert / lb_mean /
-        lb_half_width / lb_per_rep (+ polish diagnostics)."""
+        optimum: each replication yields a deterministic bound on its own
+        SAA optimum, and i.i.d. sampling gives E[SAA optimum] <= v*
+        (sd/lower_bound.py). ``method`` selects the per-replication
+        bound:
+
+          "ef"     (default) one structured-PDHG extensive-form solve per
+                   replication (all R vmapped on device) + the aggregate
+                   dual cut's exact HiGHS minimum — tight to the EF
+                   duality gap (sd/lower_bound.py:saa_ef_bound);
+          "polish" level-bundle Benders rounds on the stored stream
+                   (saa_polish) — cheaper per round, slower to tighten;
+          "model"  the SD run's final cut model minimum alone — free but
+                   loose (the model is only tight near the iterates).
+
+        ``extra_scenarios`` extends each replication's certification
+        stream with fresh i.i.d. draws (smaller SAA bias and spread; the
+        SD cuts are then excluded from the bound model). Returns lb_cert
+        / lb_mean / lb_half_width / lb_per_rep (+ method diagnostics)."""
         from sqlp_tpu.sd.lower_bound import (certified_lower_bound,
-                                             saa_polish, t_lower_bound)
-        if polish_rounds <= 0:
+                                             saa_ef_bound, saa_polish,
+                                             t_lower_bound)
+        if method == "model" or (method == "polish" and polish_rounds <= 0):
             return certified_lower_bound(
                 self.arrays, self.espec, self.states,
                 obj_scale=self.obj_scale, confidence=confidence)
+        if method == "ef":
+            ef = saa_ef_bound(self.arrays, self.scenario_model,
+                              self.espec, self.states, self.config,
+                              obj_scale=self.obj_scale,
+                              extra_scenarios=extra_scenarios, seed=seed,
+                              **kw)
+            out = t_lower_bound(ef["lb_per_rep"], confidence)
+            for k in ("ef_obj_per_rep", "ef_err_per_rep",
+                      "dual_infeas_per_rep", "n_scenarios"):
+                out[k] = ef[k]
+            return out
+        assert method == "polish", method
         pol = saa_polish(self.arrays, self.scenario_model, self.espec,
                          self.prep_sub, self.states, self.config,
                          obj_scale=self.obj_scale,

@@ -73,6 +73,7 @@ class SDState:
     cut_mark: jax.Array       # [E, K] weight_mark at build time
     cut_live: jax.Array       # [E, K] bool
     cut_dual: jax.Array       # [E, K] last master dual (prune signal)
+    cut_x: jax.Array          # [E, K, n1] generating point (for refresh)
 
     # incumbent cuts (epigraph.jl:44, applied undiscounted)
     inc_alpha: jax.Array      # [E]
@@ -155,6 +156,7 @@ def init_state(inst: Instance, espec: EpigraphSpec, config: SDConfig,
         cut_mark=f((E, K)),
         cut_live=jnp.zeros((E, K), bool),
         cut_dual=f((E, K)),
+        cut_x=jnp.broadcast_to(x0, (E, K) + x0.shape),
         inc_alpha=f((E,)),
         inc_beta=f((E, n1)),
         inc_valid=jnp.zeros((E,), bool),

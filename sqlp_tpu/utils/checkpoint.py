@@ -53,6 +53,14 @@ def load_state(path: str, template: Optional[SDState] = None) -> SDState:
     # IS the total weight — restore it exactly (not from the template).
     if "n_stream" not in fields and "total_weight" in fields:
         fields["n_stream"] = np.asarray(fields["total_weight"], np.int32)
+    # cut_x (each cut's generating point, for periodic cut refresh)
+    # predates round 4; any feasible point is a valid generating point,
+    # so default legacy checkpoints to the incumbent.
+    if "cut_x" not in fields and "cut_alpha" in fields:
+        E, K = fields["cut_alpha"].shape
+        fields["cut_x"] = np.broadcast_to(
+            fields["x_incumbent"], (E, K) + fields["x_incumbent"].shape
+        ).copy()
     missing = names - fields.keys()
     if missing:
         # Forward compatibility with checkpoints written before SDState

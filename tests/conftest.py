@@ -17,9 +17,17 @@ import resource
 # main stack grows on demand up to the soft limit, so raising it here
 # (before any deep compile) takes effect for the whole run.
 _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
-if _soft != resource.RLIM_INFINITY:
+# A large FINITE soft limit, not RLIM_INFINITY: glibc sizes new pthread
+# stacks from the soft limit ONLY when it is finite — "unlimited" falls
+# back to the small built-in default, so raising to infinity leaves
+# XLA's compile threads on ~8 MB stacks (the previous fix's remaining
+# flake). 512 MB is virtual address space, lazily paged.
+_want = 512 << 20
+if _soft != resource.RLIM_INFINITY and _soft < _want:
+    if _hard != resource.RLIM_INFINITY:
+        _want = min(_want, _hard)
     try:
-        resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+        resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
     except (ValueError, OSError):
         pass
 

@@ -147,7 +147,7 @@ def test_certified_bound_replications_newsvendor():
     cfg = _CFG.replace(max_scenarios=256)
     s = SDReplications(inst, cfg, n_replications=4, seed=11)
     s.run(120)
-    out = s.certified_lower_bound()
+    out = s.certified_lower_bound(method="polish")
     assert out["n_replications"] == 4
     assert len(out["lb_per_rep"]) == 4
     for r, (state, lb_r) in enumerate(zip(s.states, out["lb_per_rep"])):
@@ -163,8 +163,17 @@ def test_certified_bound_replications_newsvendor():
     assert out["lb_cert"] > 0.8
 
     # the unpolished route stays available and is never tighter
-    raw = s.certified_lower_bound(polish_rounds=0)
+    raw = s.certified_lower_bound(method="model")
     assert raw["lb_mean"] <= out["lb_mean"] + 1e-8
+
+    # the EF-dual route (the default): one extensive-form solve per
+    # replication; its aggregate-cut minimum equals each SAA optimum to
+    # the solve tolerance (epsilon-feasible duals, refined in f64)
+    ef = s.certified_lower_bound(method="ef")
+    for r, state in enumerate(s.states):
+        v_saa = _saa_ef_optimum(inst, state)
+        assert abs(ef["lb_per_rep"][r] - v_saa) <= 1e-3 * (1 + abs(v_saa))
+    assert np.all(ef["dual_infeas_per_rep"] <= 1e-4)
 
 
 def test_certified_bound_extended_stream_newsvendor():
@@ -176,7 +185,8 @@ def test_certified_bound_extended_stream_newsvendor():
     cfg = _CFG.replace(max_scenarios=256)
     s = SDReplications(inst, cfg, n_replications=3, seed=21)
     s.run(100)
-    out = s.certified_lower_bound(polish_rounds=16, extra_scenarios=412)
+    out = s.certified_lower_bound(method="polish", polish_rounds=16,
+                                  extra_scenarios=412)
     assert out["n_scenarios"] == 512
     # polish converged on the tiny instance: lb == exact SAA value at
     # the final point (within tolerance), and the larger sample keeps
@@ -184,6 +194,43 @@ def test_certified_bound_extended_stream_newsvendor():
     assert np.all(out["polish_gap_per_rep"] < 1e-3)
     assert np.all(np.abs(out["lb_per_rep"] - 1.0) < 0.2)
     assert out["lb_cert"] <= 1.0 + 0.05
+
+    # EF route over the same extended streams: same certification target
+    # v_{N+extra}, one joint solve per replication
+    from sqlp_tpu.config import PDHGConfig as _P
+    ef = s.certified_lower_bound(method="ef", extra_scenarios=412,
+                                 seed=9000,
+                                 ef_config=_P(tol=1e-6, max_iters=120000))
+    assert np.all(ef["ef_err_per_rep"] <= 2e-4), ef["ef_err_per_rep"]
+    assert ef["n_scenarios"] == 512
+    assert np.all(np.abs(ef["lb_per_rep"] - 1.0) < 0.2)
+    # both routes bound the SAME per-replication SAA optimum; they must
+    # agree to the EF gap + polish gap
+    assert np.all(np.abs(ef["lb_per_rep"] - out["lb_per_rep"]) < 0.02), \
+        (ef["lb_per_rep"], out["lb_per_rep"])
+
+
+def test_cut_refresh_keeps_bound_valid():
+    """cut_refresh_every rebuilds live cuts at their generating points at
+    full weight; the refreshed model must still under-estimate the SAA
+    optimum (refreshed cuts are ordinary SASA cuts), marks must show the
+    refresh happened, and the trajectory stays convergent."""
+    require_instance("lands")
+    inst = load_instance("lands", dtype=jnp.float64)
+    cfg = _CFG.replace(cut_refresh_every=16)
+    solver = SDSolver(inst, cfg, x0=np.array([3.0, 3.0, 3.0, 3.0]), seed=2)
+    solver.run(60)
+    live = np.asarray(solver.state.cut_live)
+    marks = np.asarray(solver.state.cut_mark)
+    # every live cut was either refreshed at iteration 48 (mark reset to
+    # the then-total weight 48) or inserted later
+    assert marks[live].min() >= 48 - 1e-9, marks[live]
+    lb = solver.cut_model_lower_bound()
+    v_saa = _saa_ef_optimum(inst, solver.state)
+    assert lb <= v_saa + 1e-8, (lb, v_saa)
+    assert lb > 300.0
+    ub = solver.evaluate(n_samples=2000)
+    assert abs(ub - 381.8533) < 8.0
 
 
 def test_certified_bound_single_replication_warns():
