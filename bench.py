@@ -237,15 +237,37 @@ def _bench_sd_gap(inst, config, n_iters: int) -> dict:
     gap = (ub - lb) / max(abs(ub), 1e-9)
     return {"sd_iters": n_iters, "sd_wallclock_s": round(wallclock, 2),
             "sd_iters_per_sec": round(n_iters / wallclock, 2),
+            "gap_kind": "proxy (lb_est is the cut-model estimate, not a "
+                        "valid bound; the certified gap is ssn_certified)",
             "lb_est": round(lb, 4),
             "lb_est_mean_last100": round(float(np.mean(lb_tail)), 4),
             "mc_ub": round(ub, 4),
             "mc_ub_half_width": round(hw, 4), "rel_gap": round(gap, 5)}
 
 
-def _bench_replications(inst, config, n_reps: int, n_iters: int) -> dict:
-    """R batched SD replications + the compromise decision: wall clock,
-    per-replication lb spread, and the compromise solution's MC cost."""
+def _bench_certified(inst, config, n_reps: int, n_iters: int,
+                     fresh_scenarios: int = 0, ub_samples: int = 65536,
+                     ub_half_width: float = 0.0) -> dict:
+    """The certified-optimality-gap pipeline (the ssn quality headline):
+
+    R batched SD replications -> one extensive-form dual certificate per
+    replication (saa_ef_bound: a valid deterministic bound on each
+    replication's SAA optimum, tight to the EF duality gap) -> Student-t
+    aggregation into a 95% confidence lower bound on the TRUE optimum ->
+    compromise decision (Sen & Liu) evaluated by stratified Monte Carlo.
+    cert_gap = ((ub + ub_hw) - (lb_mean - lb_hw)) / (ub + ub_hw): every
+    term is either an exact bound or carries its own confidence interval
+    — unlike the single-run proxy gap (rel_gap below), which compares a
+    cut-model evaluation that is not a bound at all.
+
+    ``fresh_scenarios`` certifies over fresh LATIN-HYPERCUBE streams
+    instead of the SD run's i.i.d. draws: stratified sample averages are
+    unbiased for every fixed x (so E[SAA optimum] <= v* still holds) but
+    concentrate much harder, shrinking both the SAA downward bias and
+    the cross-replication spread (measured on ssn R=8, N=3000: lb_mean
+    9.71 -> 9.83, half-width 0.40 -> 0.19). ``ub_half_width`` > 0 keeps
+    sampling the compromise decision until the 95% CI is that tight.
+    """
     import numpy as np
 
     from sqlp_tpu.sd.compromise import compromise_decision
@@ -254,21 +276,42 @@ def _bench_replications(inst, config, n_reps: int, n_iters: int) -> dict:
     t0 = time.time()
     s = SDReplications(inst, config, n_replications=n_reps, seed=0)
     s.run(n_iters)
-    run_wall = time.time() - t0
-    lbs = s.lower_estimates
+    sd_wall = time.time() - t0
+
+    t0 = time.time()
+    cert = s.certified_lower_bound(method="ef",
+                                   fresh_scenarios=fresh_scenarios)
+    cert_wall = time.time() - t0
+
+    t0 = time.time()
     x_comp, info = compromise_decision(inst, s.states, s.especs, rho=1.0,
                                        qp_config=config.qp,
                                        obj_scale=s.obj_scale)
-    ub_c, hw_c, _ = s.evaluate_ci(x=x_comp, min_samples=8192,
-                                  max_samples=8192, seed=7,
-                                  sampling="stratified")
+    ub_c, hw_c, n_ub = s.evaluate_ci(
+        x=x_comp, min_samples=min(32768, ub_samples),
+        max_samples=ub_samples, target_half_width=ub_half_width, seed=7,
+        sampling="stratified")
+    ub_wall = time.time() - t0
+    lo = cert["lb_mean"] - cert["lb_half_width"]
+    hi = ub_c + hw_c
     return {"n_replications": n_reps, "sd_iters": n_iters,
-            "run_wall_s": round(run_wall, 2),
-            "lb_mean": round(float(np.mean(lbs)), 4),
-            "lb_min": round(float(np.min(lbs)), 4),
-            "lb_max": round(float(np.max(lbs)), 4),
+            "n_cert_scenarios": int(cert["n_scenarios"]),
+            "sd_wall_s": round(sd_wall, 2),
+            "cert_wall_s": round(cert_wall, 2),
+            "ub_wall_s": round(ub_wall, 2),
+            "total_wall_s": round(sd_wall + cert_wall + ub_wall, 2),
+            "lb_cert": round(float(cert["lb_cert"]), 4),
+            "lb_mean": round(float(cert["lb_mean"]), 4),
+            "lb_half_width": round(float(cert["lb_half_width"]), 4),
+            "lb_per_rep_min": round(float(cert["lb_per_rep"].min()), 4),
+            "lb_per_rep_max": round(float(cert["lb_per_rep"].max()), 4),
+            "ef_err_max": float(np.max(cert["ef_err_per_rep"])),
+            "dual_infeas_max": float(np.max(cert["dual_infeas_per_rep"])),
+            "confidence": 0.95,
             "compromise_mc_ub": round(ub_c, 4),
-            "compromise_mc_ub_half_width": round(hw_c, 4)}
+            "compromise_mc_ub_half_width": round(hw_c, 4),
+            "mc_ub_samples": int(n_ub),
+            "cert_gap": round((hi - lo) / max(abs(hi), 1e-9), 5)}
 
 
 def child(args) -> int:
@@ -325,17 +368,19 @@ def child(args) -> int:
                 storm, storm_cfg, storm_iters)
         except Exception as e:
             out["storm_time_to_gap"] = {"error": f"{type(e).__name__}: {e}"}
-        # replicated SD + compromise decision (Sen & Liu) — the workflow
-        # the reference planned as a plugin and left empty
-        # (src/sd_algorithm/plugin/compromise.jl, 0 bytes). R independent
-        # replications advance in ONE batched device program; the
-        # compromise x aggregates their cut models.
+        # THE QUALITY HEADLINE: certified optimality gap from R
+        # replications + EF dual certificates + compromise decision
+        # (replaces round 3's proxy-based rel_gap, which compared a
+        # cut-model evaluation that is not a valid bound; VERDICT r3).
         try:
-            out["ssn_replications"] = _bench_replications(
+            out["ssn_certified"] = _bench_certified(
                 inst, config, n_reps=8 if on_tpu else 2,
-                n_iters=sd_iters)
+                n_iters=sd_iters,
+                fresh_scenarios=3000 if on_tpu else 256,
+                ub_samples=262144 if on_tpu else 4096,
+                ub_half_width=0.08 if on_tpu else 0.0)
         except Exception as e:
-            out["ssn_replications"] = {"error": f"{type(e).__name__}: {e}"}
+            out["ssn_certified"] = {"error": f"{type(e).__name__}: {e}"}
     print(json.dumps(out), flush=True)
     return 0
 

@@ -584,8 +584,10 @@ def saa_ef_bound(arrays, scenario_model, espec, states: Sequence,
                  config, obj_scale: float = 1.0,
                  extra_scenarios: int = 0, seed: int = 9000,
                  ef_config=None, extra_cuts: Optional[Sequence] = None,
-                 refine_f64: bool = True, refine_tol: float = 1e-6,
-                 refine_iters: int = 4000) -> Dict:
+                 refine_f64: bool = False, refine_tol: float = 1e-6,
+                 refine_iters: int = 4000,
+                 fresh_scenarios: int = 0,
+                 fresh_sampling: str = "stratified") -> Dict:
     """SAA lower bound from extensive-form dual certificates.
 
     For each replication, solve the sample-average EXTENSIVE FORM over
@@ -625,10 +627,37 @@ def saa_ef_bound(arrays, scenario_model, espec, states: Sequence,
     N_sd = int(n_scen.max())
     assert int(n_scen.min()) == N_sd, "per-epigraph scenario counts differ"
 
-    deltas_h = np.stack([_np64(s.scen_deltas)[:, :N_sd] for s in states])
-    weights_h = np.stack([_np64(s.scen_weights)[:, :N_sd] for s in states])
-    include_state_cuts = (extra_scenarios <= 0 and
-                          int(np.asarray(states[0].scen_dropped)) == 0)
+    if fresh_scenarios > 0:
+        # Fresh variance-reduced certification streams: Latin-hypercube
+        # (or antithetic/iid) samples are unbiased for every fixed x, so
+        # E[min_x SAA] <= v* still holds — but v_N concentrates much
+        # more sharply than over i.i.d. draws, shrinking BOTH the SAA
+        # downward bias and the cross-replication spread that dominates
+        # the Student-t half-width (the SD stream itself is B=1 i.i.d.,
+        # where per-batch stratification cannot apply). The SD cuts are
+        # excluded from the bound model (they certify the run's own
+        # stream, not this one); the EF certificate does not need them.
+        assert extra_scenarios == 0, \
+            "fresh_scenarios replaces the stream; extra_scenarios extends it"
+        import jax as _jx
+        from sqlp_tpu.models.scenario import sample_deltas as _sd
+        key = _jx.random.PRNGKey(seed)
+        deltas_h = np.stack([
+            np.stack([
+                np.asarray(_sd(_jx.random.fold_in(key, r * E + e),
+                               scenario_model, fresh_scenarios,
+                               method=fresh_sampling), np.float64)
+                for e in range(E)])
+            for r in range(R)])
+        weights_h = np.ones(deltas_h.shape[:3])
+        include_state_cuts = False
+    else:
+        deltas_h = np.stack([_np64(s.scen_deltas)[:, :N_sd]
+                             for s in states])
+        weights_h = np.stack([_np64(s.scen_weights)[:, :N_sd]
+                              for s in states])
+        include_state_cuts = (extra_scenarios <= 0 and
+                              int(np.asarray(states[0].scen_dropped)) == 0)
     if extra_scenarios > 0:
         assert np.allclose(weights_h, 1.0, atol=1e-9), (
             "extended certification streams require unit scenario "

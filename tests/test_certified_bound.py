@@ -210,6 +210,25 @@ def test_certified_bound_extended_stream_newsvendor():
         (ef["lb_per_rep"], out["lb_per_rep"])
 
 
+def test_certified_bound_fresh_stratified_newsvendor():
+    """fresh_scenarios mode: certification over fresh Latin-hypercube
+    streams. Stratified sample averages stay unbiased per x (the bound
+    argument holds) while v_N concentrates — on the 3-outcome newsvendor
+    the stratified empirical distribution is near-exact, so every
+    replication's bound must land within 2% of the true optimum 1.0."""
+    require_instance("newsvendor")
+    inst = load_instance("newsvendor", dtype=jnp.float64)
+    cfg = _CFG.replace(max_scenarios=256)
+    s = SDReplications(inst, cfg, n_replications=3, seed=5)
+    s.run(80)
+    out = s.certified_lower_bound(
+        method="ef", fresh_scenarios=512,
+        ef_config=PDHGConfig(tol=1e-7, max_iters=120_000))
+    assert out["n_scenarios"] == 512
+    assert np.all(np.abs(out["lb_per_rep"] - 1.0) < 0.02), out["lb_per_rep"]
+    assert out["lb_half_width"] < 0.02
+
+
 def test_cut_refresh_keeps_bound_valid():
     """cut_refresh_every rebuilds live cuts at their generating points at
     full weight; the refreshed model must still under-estimate the SAA
