@@ -584,7 +584,8 @@ def saa_ef_bound(arrays, scenario_model, espec, states: Sequence,
                  config, obj_scale: float = 1.0,
                  extra_scenarios: int = 0, seed: int = 9000,
                  ef_config=None, extra_cuts: Optional[Sequence] = None,
-                 refine_f64: bool = False, refine_tol: float = 1e-6,
+                 refine_f64: Optional[bool] = None,
+                 refine_tol: float = 1e-6,
                  refine_iters: int = 4000,
                  fresh_scenarios: int = 0,
                  fresh_sampling: str = "stratified") -> Dict:
@@ -688,6 +689,13 @@ def saa_ef_bound(arrays, scenario_model, espec, states: Sequence,
 
     if ef_config is None:
         ef_config = config.pdhg
+    if refine_f64 is None:
+        # default: refine everywhere EXCEPT the TPU backend — emulated-
+        # f64 EF programs at this scale crash the axon TPU worker
+        # (reproduced 3x: "TPU worker process crashed ... kernel fault");
+        # on TPU the f32 certificates' feasibility residuals are instead
+        # measured and reported (dual_infeas_per_rep)
+        refine_f64 = jax.default_backend() != "tpu"
     ef = jax.vmap(lambda d: solve_extensive_form(
         arrays, scenario_model, d, probs_u, ef_config, return_duals=True))
     x_ef, obj_ef, stats, duals, Y_ef, u0_ef = ef(deltas_u)
