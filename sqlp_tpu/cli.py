@@ -203,8 +203,10 @@ def _solve_replicated(args, config, inst, espec, x0) -> int:
         inst, s.states, s.especs,
         rho=args.compromise_rho, qp_config=config.qp,
         obj_scale=s.obj_scale)
-    ub_comp = s.evaluate(x=x_comp, n_samples=args.eval_samples,
-                         seed=args.seed + 20_000)
+    ub_comp, ub_hw, _ = s.evaluate_ci(
+        x=x_comp, min_samples=args.eval_samples,
+        max_samples=args.eval_samples, seed=args.seed + 20_000,
+        sampling="stratified")
     ub_bar = s.evaluate(x=info["x_bar"],
                         n_samples=args.eval_samples,
                         seed=args.seed + 20_000)
@@ -212,6 +214,23 @@ def _solve_replicated(args, config, inst, espec, x0) -> int:
           file=sys.stderr)
     print(f"mc_ub_compromise={ub_comp:.6f} mc_ub_average={ub_bar:.6f}")
     print(f"x_compromise={np.round(x_comp, 6).tolist()}")
+    if args.certify:
+        # certified optimality gap: EF dual certificates over fresh
+        # Latin-hypercube streams + Student-t aggregation
+        # (sd/lower_bound.py; a VALID bound, unlike the lb_est proxy)
+        t0 = time.time()
+        cert = s.certified_lower_bound(
+            method=args.certify_method,
+            fresh_scenarios=args.certify_scenarios)
+        lo = cert["lb_mean"] - cert["lb_half_width"]
+        hi = ub_comp + ub_hw
+        print(f"certified in {time.time() - t0:.1f}s over "
+              f"{cert['n_scenarios']}-scenario streams", file=sys.stderr)
+        print(f"lb_cert={cert['lb_cert']:.6f} "
+              f"(mean={cert['lb_mean']:.6f} "
+              f"hw={cert['lb_half_width']:.6f}, 95% t, R={R})")
+        print(f"cert_gap={(hi - lo) / max(abs(hi), 1e-9):.5f} "
+              f"(ub {ub_comp:.6f}+-{ub_hw:.6f})")
     return 0
 
 
@@ -345,6 +364,15 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--epigraphs", type=int, default=1,
                     help="number of weighted epigraph variables (each fed "
                          "an independent scenario stream at weight 1/E)")
+    ps.add_argument("--certify", action="store_true",
+                    help="with --replications > 1: print a certified "
+                         "statistical lower bound and optimality gap "
+                         "(EF dual certificates + Student-t)")
+    ps.add_argument("--certify-method", default="ef",
+                    choices=["ef", "polish", "model"])
+    ps.add_argument("--certify-scenarios", type=int, default=3000,
+                    help="fresh Latin-hypercube certification scenarios "
+                         "per replication (0: certify the SD stream)")
     ps.add_argument("--replications", type=int, default=1,
                     help="run R independent SD replications and solve the "
                          "compromise decision over their cut models")

@@ -459,9 +459,15 @@ class SDSolver:
                               mode="edge")
                 Y64 = np.asarray(Y_r, np.float64)[pos2]
                 P64 = np.asarray(Pi_r, np.float64)[pos2]
-                obj2, _, _, st2 = solve_batch(
-                    self._prep_sub64, jnp.asarray(Hn[idx2]),
+                cfg64 = dataclasses.replace(
                     self.config.pdhg,
+                    # the straggler bucket is tiny, so a deep budget is
+                    # nearly free; degenerate elements that stall the
+                    # f32 ladder often need the extra restarts in f64
+                    max_iters=4 * self.config.pdhg.max_iters,
+                    stall_rounds=4 * self.config.pdhg.stall_rounds)
+                obj2, _, _, st2 = solve_batch(
+                    self._prep_sub64, jnp.asarray(Hn[idx2]), cfg64,
                     Y0=jnp.asarray(Y64), L0=jnp.asarray(P64),
                     Q=None if Qn is None else jnp.asarray(Qn[idx2]))
                 fixed2 = np.asarray(st2["pdhg_valid"])[:bad.size]
