@@ -290,7 +290,7 @@ def _bench_certified(inst, config, n_reps: int, n_iters: int,
     ub_c, hw_c, n_ub = s.evaluate_ci(
         x=x_comp, min_samples=min(32768, ub_samples),
         max_samples=ub_samples, target_half_width=ub_half_width, seed=7,
-        sampling="stratified")
+        batch=16384, sampling="stratified")
     ub_wall = time.time() - t0
     lo = cert["lb_mean"] - cert["lb_half_width"]
     hi = ub_c + hw_c

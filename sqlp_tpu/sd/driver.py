@@ -430,7 +430,11 @@ class SDSolver:
             # stragglers (ssn panel: 420 -> 127 at 10ms/LP host cost
             # avoided each). Batch padded to a power-of-two bucket so
             # retries reuse a handful of compiled shapes.
-            bucket = max(64, 1 << (int(bad.size) - 1).bit_length())
+            # fixed 256 floor: straggler counts vary batch to batch
+            # (50-150 on ssn panels) and every distinct bucket size
+            # compiles its own ladder (~10-20s each on the TPU); one
+            # shared shape amortizes to a single compile
+            bucket = max(256, 1 << (int(bad.size) - 1).bit_length())
             idx = np.pad(bad, (0, bucket - bad.size), mode="edge")
             Hb = jnp.asarray(Hn[idx], self.config.jdtype)
             Qb = None if Qn is None else jnp.asarray(Qn[idx],
@@ -453,7 +457,7 @@ class SDSolver:
                 # iterations cannot help); one double-precision re-solve
                 # warm-started from the f32 iterate clears them on device
                 # (ssn bench panels: ~100/4096 residual host solves -> 0)
-                bucket2 = max(32, 1 << (int(bad.size) - 1).bit_length())
+                bucket2 = max(256, 1 << (int(bad.size) - 1).bit_length())
                 idx2 = np.pad(bad, (0, bucket2 - bad.size), mode="edge")
                 pos2 = np.pad(rem_pos, (0, bucket2 - rem_pos.size),
                               mode="edge")
