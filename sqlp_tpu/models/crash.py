@@ -54,7 +54,8 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
                          x0: jax.Array | None = None,
                          Y0: jax.Array | None = None,
                          U0: jax.Array | None = None,
-                         u00: jax.Array | None = None
+                         u00: jax.Array | None = None,
+                         omega0: jax.Array | None = None
                          ) -> Tuple[jax.Array, jax.Array, dict]:
     """Solve the extensive form over a fixed scenario panel.
 
@@ -340,10 +341,22 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
     else:
         u0i = proj_dual(u00.astype(dtype) * f1 / (r1 * obj_s), Ui)[0]
     inf = jnp.asarray(jnp.inf, dtype)
-    c0 = (xi, Yi, u0i, Ui,
-          xi, Yi, jnp.zeros((S, m2), dtype), u0i, omega_init, inf, inf,
-          jnp.zeros((), jnp.int32), inf)
+    # chained warm restarts (solve_extensive_form_chunked) carry the
+    # adapted primal weight as the STARTING omega, but the adaptation
+    # clip stays anchored at the norm-based omega_init: re-anchoring the
+    # clip at the carried value lets omega drift geometrically downward
+    # across chunks (measured 9e-5 -> 2e-9 over 8 chunks, stalling the
+    # solve), while a fixed anchor lets it recover.
+    omega_start = (omega0.astype(dtype) if omega0 is not None
+                   else omega_init)
     err0, _ = residual(xi, Yi, u0i, Ui)
+    # best-iterate tracking starts AT the initial point (not at inf with
+    # a zero dual): a chunk whose first rounds blow up — tiny carried
+    # omega, unbalanced steps — must never return worse than its warm
+    # start.
+    c0 = (xi, Yi, u0i, Ui,
+          xi, Yi, Ui, u0i, omega_start, err0, err0,
+          jnp.zeros((), jnp.int32), err0)
     out = jax.lax.while_loop(cond, round_step, c0)
     (x, Y, u0, U, xb, Yb, Ub, ub0, omega, err_r, err_last, rounds,
      err_best) = out
@@ -352,6 +365,7 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
     stats = {"ef_iters": rounds * config.restart_every,
              "ef_err": err_best,
              "ef_err0": err0,
+             "ef_omega": omega,
              "ef_converged": err_best <= config.tol}
     # xb lives in column-scaled space; undo for the caller
     if return_duals:
@@ -363,6 +377,55 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
         return (cx * xb, obj, stats, duals, cy[None, :] * Yb,
                 ub0 * (r1 * f1) * obj_s)
     return cx * xb, obj, stats
+
+
+def solve_extensive_form_chunked(arrays, model, deltas, probs,
+                                 config: PDHGConfig = PDHGConfig(),
+                                 chunk_iters: int = 16_384,
+                                 vmapped: bool = False):
+    """Extensive-form solve as a chain of warm-started shorter solves.
+
+    A single EF program at full ``max_iters`` can run for many minutes
+    (storm at 100k iterations: ~9 min of device time), and long-running
+    XLA executions kill the tunneled TPU worker ("TPU worker process
+    crashed or restarted", reproduced consistently above ~2-4 min of
+    single-program runtime; shorter programs run reliably for hours).
+    This driver bounds per-program runtime: each chunk runs at most
+    ``chunk_iters`` PDHG iterations and hands its (x, Y, duals, u0) to
+    the next via the warm-start path; convergence is checked on the host
+    between chunks. Always returns duals.
+
+    ``vmapped=True`` treats the leading axis of ``deltas`` as a
+    replication batch (the certified-bound fleet) — probs shared.
+    """
+    import dataclasses as _dcl
+
+    import numpy as _np
+
+    total = 0
+    x0 = Y0 = U0 = u00 = om = None
+    out = None
+    while total < config.max_iters:
+        step = min(chunk_iters, config.max_iters - total)
+        cfg = _dcl.replace(config, max_iters=step)
+        if vmapped:
+            names = ("x0", "Y0", "U0", "u00", "omega0")
+            fn = jax.vmap(lambda d, *w: solve_extensive_form(
+                arrays, model, d, probs, cfg, return_duals=True,
+                **(dict(zip(names, w)) if w else {})))
+            out = fn(deltas) if x0 is None else fn(deltas, x0, Y0, U0,
+                                                   u00, om)
+        else:
+            out = solve_extensive_form(
+                arrays, model, deltas, probs, cfg, return_duals=True,
+                x0=x0, Y0=Y0, U0=U0, u00=u00, omega0=om)
+        x0, obj, stats, U0, Y0, u00 = out
+        om = stats["ef_omega"]
+        total += step
+        err = _np.max(_np.asarray(stats["ef_err"]))
+        if err <= config.tol:
+            break
+    return out
 
 
 def crash_x0(inst: Instance, n_scenarios: int = 10, seed: int = 0,

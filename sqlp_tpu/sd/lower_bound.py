@@ -588,7 +588,8 @@ def saa_ef_bound(arrays, scenario_model, espec, states: Sequence,
                  refine_tol: float = 1e-6,
                  refine_iters: int = 4000,
                  fresh_scenarios: int = 0,
-                 fresh_sampling: str = "stratified") -> Dict:
+                 fresh_sampling: str = "stratified",
+                 ef_chunk_iters: int = 16_384) -> Dict:
     """SAA lower bound from extensive-form dual certificates.
 
     For each replication, solve the sample-average EXTENSIVE FORM over
@@ -696,9 +697,12 @@ def saa_ef_bound(arrays, scenario_model, espec, states: Sequence,
         # on TPU the f32 certificates' feasibility residuals are instead
         # measured and reported (dual_infeas_per_rep)
         refine_f64 = jax.default_backend() != "tpu"
-    ef = jax.vmap(lambda d: solve_extensive_form(
-        arrays, scenario_model, d, probs_u, ef_config, return_duals=True))
-    x_ef, obj_ef, stats, duals, Y_ef, u0_ef = ef(deltas_u)
+    # chunked host loop: long single XLA programs kill the tunneled TPU
+    # worker (models/crash.py:solve_extensive_form_chunked)
+    from sqlp_tpu.models.crash import solve_extensive_form_chunked
+    x_ef, obj_ef, stats, duals, Y_ef, u0_ef = solve_extensive_form_chunked(
+        arrays, scenario_model, deltas_u, probs_u, ef_config,
+        chunk_iters=ef_chunk_iters, vmapped=True)
     ef_err = np.asarray(stats["ef_err"], np.float64)
 
     if refine_f64:
