@@ -759,6 +759,11 @@ def saa_ef_bound(arrays, scenario_model, espec, states: Sequence,
             f"{ef_err.max():.2e}) — the aggregate-cut bound can OVERSHOOT "
             f"the SAA optimum by the same order; raise ef_config.max_iters "
             f"or tighten refine_tol before trusting lb_per_rep")
+    # A grossly unconverged certificate is not a certificate: emitting a
+    # "bound" from duals that violate feasibility by O(1) produced
+    # storm values 50% ABOVE the upper bound. Refuse: report -inf for
+    # those replications (callers see the failure instead of a lie).
+    cert_bad = dual_infeas > 1e-2
 
     # aggregate cuts, exact f64 on host
     rv_row = np.asarray(scenario_model.rv_row)
@@ -790,6 +795,12 @@ def saa_ef_bound(arrays, scenario_model, espec, states: Sequence,
             arrays, espec, states[r], check_validity=(r == 0),
             extra_cuts=cuts_r, include_state_cuts=include_state_cuts,
             return_x=True)
+    if cert_bad.any():
+        warnings.warn(
+            f"{int(cert_bad.sum())}/{R} EF certificates rejected "
+            f"(dual infeasibility > 1e-2); their bounds are reported as "
+            f"-inf — this instance needs a larger EF iteration budget")
+        lb = np.where(cert_bad, -np.inf, lb)
     return {
         "lb_per_rep": lb * obj_scale,
         "ef_obj_per_rep": np.asarray(obj_ef, np.float64) * obj_scale,

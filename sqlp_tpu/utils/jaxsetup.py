@@ -33,10 +33,24 @@ def configure_jax() -> None:
         return
     import jax
 
+    # The cache key does NOT include the host CPU's feature set, but
+    # XLA:CPU stores AOT-compiled executables: an entry written on a
+    # machine with (say) AMX/AVX10 loads on a host without them and
+    # executes illegal instructions ("Loading XLA:CPU AOT result ...
+    # could lead to execution errors such as SIGILL", observed here when
+    # rounds moved hosts). Fingerprint the cache dir by the CPU flags so
+    # each machine class gets its own cache.
+    try:
+        import hashlib
+        with open("/proc/cpuinfo") as fh:
+            flags = next((ln for ln in fh if ln.startswith("flags")), "")
+        fp = hashlib.sha1(flags.encode()).hexdigest()[:10]
+    except OSError:
+        fp = "nocpuinfo"
     jax.config.update(
         "jax_compilation_cache_dir",
         os.environ.get("SQLP_TPU_COMPILE_CACHE",
-                       os.path.expanduser("~/.cache/sqlp_tpu_xla")))
+                       os.path.expanduser(f"~/.cache/sqlp_tpu_xla-{fp}")))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     jax.config.update("jax_enable_x64", True)
     _configured = True

@@ -31,6 +31,23 @@ if _soft != resource.RLIM_INFINITY and _soft < _want:
     except (ValueError, OSError):
         pass
 
+# Raise the memory-map ceiling: one long-lived pytest process JIT-loads
+# hundreds of XLA:CPU executables, each landing several mmaps per LLVM
+# codegen split (~6+ maps even for a tiny jit; the sd_run/evaluator
+# programs land hundreds). The kernel default vm.max_map_count=65530
+# exhausts roughly 30 tests in, at which point LLVM reports "Cannot
+# allocate memory" and the process dies with SIGSEGV/SIGABRT mid-compile
+# (the suite's long-standing flaky crash — reproduced with capture off).
+# Writable as root (this image); best-effort elsewhere.
+try:
+    with open("/proc/sys/vm/max_map_count") as _fh:
+        _cur = int(_fh.read())
+    if _cur < 1_048_576:
+        with open("/proc/sys/vm/max_map_count", "w") as _fh:
+            _fh.write("1048576")
+except OSError:
+    pass
+
 # Force CPU: the session environment presets a TPU plugin (axon) that is
 # registered by a sitecustomize at interpreter startup — BEFORE this
 # conftest runs — so setting the JAX_PLATFORMS env var here is too late and
