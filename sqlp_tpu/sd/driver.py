@@ -465,10 +465,12 @@ class SDSolver:
                 P64 = np.asarray(Pi_r, np.float64)[pos2]
                 cfg64 = dataclasses.replace(
                     self.config.pdhg,
-                    # the straggler bucket is tiny, so a deep budget is
-                    # nearly free; degenerate elements that stall the
-                    # f32 ladder often need the extra restarts in f64
-                    max_iters=4 * self.config.pdhg.max_iters,
+                    # deeper stall patience, but NOT a bigger iteration
+                    # budget: emulated-f64 iterations are ~10x slower
+                    # and a 4x budget turned this rung into a
+                    # multi-minute single XLA program — long enough to
+                    # kill the tunneled TPU worker (same failure mode as
+                    # the unchunked extensive-form solves)
                     stall_rounds=4 * self.config.pdhg.stall_rounds)
                 obj2, _, _, st2 = solve_batch(
                     self._prep_sub64, jnp.asarray(Hn[idx2]), cfg64,

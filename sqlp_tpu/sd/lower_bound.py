@@ -7,47 +7,55 @@ every new cut, and can sit ABOVE the true optimum early in a run
 (RESULTS.md: newsvendor 1.04 after 200 iterations vs the exact 1.0).
 
 This module provides the statistically valid route (the standard SD/SAA
-argument, Higle & Sen's stopping theory being the model):
+argument; Higle & Sen's stopping theory is the model). Per replication,
+a DETERMINISTIC lower bound on its sample-average optimum v_N:
 
-1. ``cut_model_min``: the exact minimum of a replication's final cut model
-   over the first-stage polytope, solved on the host by HiGHS in f64.
-   This is a DETERMINISTIC lower bound on the optimal value v_N of that
-   replication's sample-average (SAA) problem:
+1. ``cut_model_min`` — the exact minimum of a valid cut model over the
+   first-stage polytope, solved on the host by HiGHS in f64. Validity of
+   the SD run's own cuts: a cut built at stream position k satisfies
+   cut_k(x) <= (1/k) sum_{s<=k} Q(x, xi_s), and the weight-mark discount
+   d = mark/total with the (1-d)*lb blending
+   (src/sd_algorithm/epigraph.jl:101-117) extends that to the full
+   stream because lb <= Q(x, xi) everywhere; the incumbent cut is
+   rebuilt at full weight; the per-epigraph lower bound is itself a
+   computed valid recourse bound (models/routines.py). Hence
+   min_x c@x + sum_e w_e max(cuts_e, inc_e, lb_e) <= v_N. Tightness is
+   the problem — the SD model is only tight near its iterates.
 
-     * every stored cut under-estimates the stream's SAA recourse average
-       at every x — a cut built at stream position k satisfies
-       cut_k(x) <= (1/k) sum_{s<=k} Q(x, xi_s), and the weight-mark
-       discount d = mark/total with the (1-d)*lb blending
-       (src/sd_algorithm/epigraph.jl:101-117) extends that to the full
-       stream because lb <= Q(x, xi) everywhere;
-     * the incumbent cut is rebuilt at full weight each iteration, so it
-       bounds the current stream directly;
-     * the per-epigraph lower bound is itself a valid recourse bound
-       (models/routines.py:recourse_lower_bound, computed not guessed).
+2. ``saa_polish`` — a level-bundle method that tightens the model with
+   full-stream average cuts before taking the minimum (monotone, stop
+   any time). Converges in a few rounds on small instances; slow tail
+   on high-dimensional ones (ssn).
 
-   Hence min_x c@x + sum_e w_e max(cuts_e, inc_e, lb_e) <= v_N.
+3. ``saa_ef_bound`` — THE TIGHT ROUTE: solve each replication's
+   sample-average extensive form with the structured batched PDHG
+   solver (models/crash.py) and build ONE aggregate cut from its
+   per-scenario duals. By LP duality the single-cut model minimum
+   equals v_N minus the solve's duality gap. Certification streams can
+   be the SD run's own draws or fresh variance-reduced (Latin
+   hypercube) samples — stratified averages stay unbiased for every
+   fixed x, so the bound argument is unchanged while v_N concentrates.
 
-2. ``certified_lower_bound``: R independent replications give i.i.d.
-   samples lb_r <= v_N^(r); with i.i.d. scenario sampling E[v_N] <= v*
-   (the classic SAA inequality E[min] <= min E, requiring the epigraph
-   weights to sum to 1), so the Student-t bound
-
-     mean(lb_r) - t_{R-1, conf} * std(lb_r) / sqrt(R)
-
-   is a (conf)-level confidence lower bound on the true optimum v*.
+Then ``t_lower_bound`` / ``certified_lower_bound``: R independent
+replications give i.i.d. lb_r <= v_N^(r); unbiased-per-x sampling gives
+E[v_N] <= v* (E[min] <= min E, requiring the epigraph weights to sum to
+1), so mean(lb_r) - t_{R-1,conf} * std/sqrt(R) is a (conf)-level
+confidence lower bound on the true optimum v*.
 
 Validity caveats (checked and warned about at runtime):
   * the scenario reservoir must not have overflowed (state.scen_dropped
-    == 0): past saturation, new cuts average a uniform SUBSAMPLE of the
-    stream — an unbiased estimate of, but not a pointwise bound on, the
-    stream's SAA average;
-  * scenario weights must be 1 (plain i.i.d. sampling, no importance
-    sampling): the self-normalized IS ratio estimator is biased, which
-    breaks E[min] <= min E;
-  * pool duals are epsilon-feasible to the kernel's ``valid_tol`` (1e-4
-    relative KKT error) rather than exactly feasible like the reference's
-    simplex duals, so each cut can over-estimate by O(valid_tol * scale) —
-    orders of magnitude below the statistical half-widths reported here.
+    == 0) when the SD run's own cuts enter the model: past saturation
+    they average a uniform SUBSAMPLE of the stream;
+  * scenario weights must be 1 (plain i.i.d./stratified sampling, no
+    importance sampling): the self-normalized IS ratio estimator is
+    biased, which breaks E[min] <= min E;
+  * first-order duals are epsilon-feasible, not exactly feasible like
+    the reference's simplex duals: each cut can over-estimate by
+    O(residual * scale). The EF certificates' worst per-scenario
+    reduced-cost violation is measured and returned
+    (``dual_infeas_per_rep``; the off-TPU f64 refinement pass drives it
+    to ~1e-6), and grossly unconverged certificates (> 1e-2) are
+    REJECTED rather than reported.
 """
 
 from __future__ import annotations
