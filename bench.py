@@ -287,10 +287,13 @@ def _bench_certified(inst, config, n_reps: int, n_iters: int,
     x_comp, info = compromise_decision(inst, s.states, s.especs, rho=1.0,
                                        qp_config=config.qp,
                                        obj_scale=s.obj_scale)
+    # batch 8192: a 16384-element panel at full straggler budget is a
+    # single multi-minute XLA program, long enough to kill the tunneled
+    # TPU worker (same failure mode as unchunked EF solves)
     ub_c, hw_c, n_ub = s.evaluate_ci(
         x=x_comp, min_samples=min(32768, ub_samples),
         max_samples=ub_samples, target_half_width=ub_half_width, seed=7,
-        batch=16384, sampling="stratified")
+        batch=8192, sampling="stratified")
     ub_wall = time.time() - t0
     lo = cert["lb_mean"] - cert["lb_half_width"]
     hi = ub_c + hw_c

@@ -519,9 +519,11 @@ class SDSolver:
                  batch: int = 4096, sampling: str = "iid") -> float:
         """Monte-Carlo upper-bound estimate at x (smps_routines.jl:67-82),
         batched on device instead of N serial solver round-trips.
-        Uncertified batch elements are re-solved exactly on host.
-        ``sampling`` in {"iid", "antithetic", "stratified"} selects the
-        variance-reduction scheme per device batch (reference TODO 7)."""
+        Uncertified batch elements walk the device escalation ladder
+        (see ``_recourse_objs``); the exact host solver remains only as
+        a guarded exceptional fallback. ``sampling`` in {"iid",
+        "antithetic", "stratified"} selects the variance-reduction
+        scheme per device batch (reference TODO 7)."""
         inst = self.inst
         x = jnp.asarray(self.x_incumbent if x is None else x,
                         self.config.jdtype)

@@ -252,6 +252,57 @@ def test_cut_refresh_keeps_bound_valid():
     assert abs(ub - 381.8533) < 8.0
 
 
+def test_cut_refresh_replicated_path():
+    """cut_refresh_every through sd_step_replicated (the uniform lockstep
+    gate + vmapped rebuild): marks show the refresh fired on every
+    replication and the runs stay convergent."""
+    require_instance("lands")
+    inst = load_instance("lands", dtype=jnp.float64)
+    cfg = _CFG.replace(cut_refresh_every=16)
+    s = SDReplications(inst, cfg, n_replications=2, seed=3)
+    s.run(40)
+    live = np.asarray(s.state.cut_live)        # [R, E, K]
+    marks = np.asarray(s.state.cut_mark)
+    for r in range(2):
+        assert marks[r][live[r]].min() >= 32 - 1e-9, marks[r][live[r]]
+    assert np.all(np.isfinite(s.lower_estimates))
+
+
+def test_ef_chunked_matches_continuous():
+    """solve_extensive_form_chunked: warm-started chains must converge
+    like one continuous solve, and a chunk can never end worse than its
+    warm start (the best-iterate init fix)."""
+    require_instance("lands")
+    import jax as _j
+    from sqlp_tpu.models.crash import (solve_extensive_form,
+                                       solve_extensive_form_chunked)
+    from sqlp_tpu.models.scenario import sample_deltas
+
+    inst = load_instance("lands", dtype=jnp.float64)
+    deltas = sample_deltas(_j.random.PRNGKey(2), inst.scenario_model, 40)
+    probs = jnp.full((40,), 1.0 / 40, jnp.float64)
+    cfg = PDHGConfig(tol=1e-7, max_iters=12_000)
+    x1, o1, s1 = solve_extensive_form(inst.arrays, inst.scenario_model,
+                                      deltas, probs, cfg)
+    out = solve_extensive_form_chunked(inst.arrays, inst.scenario_model,
+                                       deltas, probs, cfg,
+                                       chunk_iters=2_000)
+    o2, s2 = out[1], out[2]
+    assert abs(float(o1) - float(o2)) <= 1e-4 * (1 + abs(float(o1)))
+    assert float(s2["ef_err"]) <= 10 * max(float(s1["ef_err"]), cfg.tol)
+    # monotonicity at the chunk boundary: a warm chunk starts at its
+    # predecessor's best iterate and can only improve on it
+    c1 = PDHGConfig(tol=1e-12, max_iters=2_000)
+    r1 = solve_extensive_form(inst.arrays, inst.scenario_model, deltas,
+                              probs, c1, return_duals=True)
+    r2 = solve_extensive_form(inst.arrays, inst.scenario_model, deltas,
+                              probs, c1, return_duals=True,
+                              x0=r1[0], Y0=r1[4], U0=r1[3], u00=r1[5],
+                              omega0=r1[2]["ef_omega"])
+    assert float(r2[2]["ef_err0"]) <= float(r1[2]["ef_err"]) * (1 + 1e-6)
+    assert float(r2[2]["ef_err"]) <= float(r2[2]["ef_err0"]) * (1 + 1e-6)
+
+
 def test_certified_bound_single_replication_warns():
     require_instance("lands")
     inst = load_instance("lands", dtype=jnp.float64)
