@@ -463,17 +463,16 @@ class SDSolver:
                               mode="edge")
                 Y64 = np.asarray(Y_r, np.float64)[pos2]
                 P64 = np.asarray(Pi_r, np.float64)[pos2]
-                cfg64 = dataclasses.replace(
-                    self.config.pdhg,
-                    # deeper stall patience, but NOT a bigger iteration
-                    # budget: emulated-f64 iterations are ~10x slower
-                    # and a 4x budget turned this rung into a
-                    # multi-minute single XLA program — long enough to
-                    # kill the tunneled TPU worker (same failure mode as
-                    # the unchunked extensive-form solves)
-                    stall_rounds=4 * self.config.pdhg.stall_rounds)
+                # plain config for the f64 rung: emulated-f64 iterations
+                # are ~10x slower, and both a bigger iteration budget
+                # (multi-minute single programs kill the tunneled TPU
+                # worker) and 4x stall patience (measured 3x slower MC
+                # evaluation overall for ~2 fewer host solves per panel)
+                # cost far more than the handful of residual exact host
+                # solves they would save
                 obj2, _, _, st2 = solve_batch(
-                    self._prep_sub64, jnp.asarray(Hn[idx2]), cfg64,
+                    self._prep_sub64, jnp.asarray(Hn[idx2]),
+                    self.config.pdhg,
                     Y0=jnp.asarray(Y64), L0=jnp.asarray(P64),
                     Q=None if Qn is None else jnp.asarray(Qn[idx2]))
                 fixed2 = np.asarray(st2["pdhg_valid"])[:bad.size]
