@@ -247,7 +247,8 @@ def _bench_sd_gap(inst, config, n_iters: int) -> dict:
 
 def _bench_certified(inst, config, n_reps: int, n_iters: int,
                      fresh_scenarios: int = 0, ub_samples: int = 65536,
-                     ub_half_width: float = 0.0) -> dict:
+                     ub_half_width: float = 0.0,
+                     method: str = "ef") -> dict:
     """The certified-optimality-gap pipeline (the ssn quality headline):
 
     R batched SD replications -> one extensive-form dual certificate per
@@ -279,8 +280,9 @@ def _bench_certified(inst, config, n_reps: int, n_iters: int,
     sd_wall = time.time() - t0
 
     t0 = time.time()
-    cert = s.certified_lower_bound(method="ef",
-                                   fresh_scenarios=fresh_scenarios)
+    cert = s.certified_lower_bound(method=method,
+                                   fresh_scenarios=fresh_scenarios) \
+        if method == "ef" else s.certified_lower_bound(method=method)
     cert_wall = time.time() - t0
 
     t0 = time.time()
@@ -298,7 +300,8 @@ def _bench_certified(inst, config, n_reps: int, n_iters: int,
     lo = cert["lb_mean"] - cert["lb_half_width"]
     hi = ub_c + hw_c
     return {"n_replications": n_reps, "sd_iters": n_iters,
-            "n_cert_scenarios": int(cert["n_scenarios"]),
+            "cert_method": method,
+            "n_cert_scenarios": int(cert.get("n_scenarios", 0)),
             "sd_wall_s": round(sd_wall, 2),
             "cert_wall_s": round(cert_wall, 2),
             "ub_wall_s": round(ub_wall, 2),
@@ -308,8 +311,10 @@ def _bench_certified(inst, config, n_reps: int, n_iters: int,
             "lb_half_width": round(float(cert["lb_half_width"]), 4),
             "lb_per_rep_min": round(float(cert["lb_per_rep"].min()), 4),
             "lb_per_rep_max": round(float(cert["lb_per_rep"].max()), 4),
-            "ef_err_max": float(np.max(cert["ef_err_per_rep"])),
-            "dual_infeas_max": float(np.max(cert["dual_infeas_per_rep"])),
+            "ef_err_max": float(np.max(cert["ef_err_per_rep"]))
+            if "ef_err_per_rep" in cert else None,
+            "dual_infeas_max": float(np.max(cert["dual_infeas_per_rep"]))
+            if "dual_infeas_per_rep" in cert else None,
             "confidence": 0.95,
             "compromise_mc_ub": round(ub_c, 4),
             "compromise_mc_ub_half_width": round(hw_c, 4),
@@ -371,6 +376,18 @@ def child(args) -> int:
                 storm, storm_cfg, storm_iters)
         except Exception as e:
             out["storm_time_to_gap"] = {"error": f"{type(e).__name__}: {e}"}
+        # storm certified gap: the SD run's own cut-model minima are
+        # already tight there (unlike ssn), so method="model" certifies
+        # essentially for free — storm's extensive form does not
+        # converge at a bench-scale first-order budget (RESULTS.md r4)
+        try:
+            out["storm_certified"] = _bench_certified(
+                storm, storm_cfg, n_reps=4 if on_tpu else 2,
+                n_iters=storm_iters, method="model",
+                ub_samples=65536 if on_tpu else 4096,
+                ub_half_width=3000.0 if on_tpu else 0.0)
+        except Exception as e:
+            out["storm_certified"] = {"error": f"{type(e).__name__}: {e}"}
         # THE QUALITY HEADLINE: certified optimality gap from R
         # replications + EF dual certificates + compromise decision
         # (replaces round 3's proxy-based rel_gap, which compared a
