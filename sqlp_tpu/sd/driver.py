@@ -413,8 +413,21 @@ class SDSolver:
             valid = to_host(stats["pdhg_valid"])[:B]
         else:
             Hn_host = None
+            # pool-argmax dual warm start for the whole panel: the SD
+            # premise (optimal duals repeat across scenarios) applies to
+            # evaluation panels too, and the scoring matmul is noise next
+            # to the PDHG iterations it saves — the same start already
+            # converts ~70% of retry stragglers (below)
+            L0 = None
+            pool = self._warmstart_pool()
+            if pool is not None and not self.inst.scenario_model.has_cost:
+                pool_j = jnp.asarray(pool, self.config.jdtype)
+                L0 = pool_j[jnp.argmax(
+                    jnp.matmul(pool_j, H.T,
+                               precision=jax.lax.Precision.HIGHEST),
+                    axis=0)]
             obj, _, _, stats = solve_batch(self.prep_sub, H,
-                                           self.config.pdhg, Q=Q)
+                                           self.config.pdhg, L0=L0, Q=Q)
             # np.array (copy): with matching dtypes np.asarray returns a
             # READ-ONLY zero-copy view of the device buffer, and the
             # retry/fallback paths below assign into vals in place
