@@ -476,16 +476,20 @@ class SDSolver:
                               mode="edge")
                 Y64 = np.asarray(Y_r, np.float64)[pos2]
                 P64 = np.asarray(Pi_r, np.float64)[pos2]
-                # plain config for the f64 rung: emulated-f64 iterations
-                # are ~10x slower, and both a bigger iteration budget
-                # (multi-minute single programs kill the tunneled TPU
-                # worker) and 4x stall patience (measured 3x slower MC
-                # evaluation overall for ~2 fewer host solves per panel)
-                # cost far more than the handful of residual exact host
-                # solves they would save
-                obj2, _, _, st2 = solve_batch(
-                    self._prep_sub64, jnp.asarray(Hn[idx2]),
+                # capped budget for the f64 rung: emulated-f64 iterations
+                # are ~10x slower, and from the warm f32 iterate a
+                # successful cleanup needs few of them — elements that
+                # still floor go to the exact host solver (~10 ms each)
+                # regardless, so letting them grind the full 80k f64
+                # budget only burned ~15 s per evaluation batch (bigger
+                # budgets/stall patience measured strictly worse; a 4x
+                # budget even produced multi-minute single programs that
+                # kill the tunneled TPU worker)
+                cfg64 = dataclasses.replace(
                     self.config.pdhg,
+                    max_iters=min(self.config.pdhg.max_iters, 20_000))
+                obj2, _, _, st2 = solve_batch(
+                    self._prep_sub64, jnp.asarray(Hn[idx2]), cfg64,
                     Y0=jnp.asarray(Y64), L0=jnp.asarray(P64),
                     Q=None if Qn is None else jnp.asarray(Qn[idx2]))
                 fixed2 = np.asarray(st2["pdhg_valid"])[:bad.size]
