@@ -382,7 +382,8 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
 def solve_extensive_form_chunked(arrays, model, deltas, probs,
                                  config: PDHGConfig = PDHGConfig(),
                                  chunk_iters: int = 16_384,
-                                 vmapped: bool = False):
+                                 vmapped: bool = False,
+                                 x0=None, Y0=None, U0=None, u00=None):
     """Extensive-form solve as a chain of warm-started shorter solves.
 
     A single EF program at full ``max_iters`` can run for many minutes
@@ -403,18 +404,20 @@ def solve_extensive_form_chunked(arrays, model, deltas, probs,
     import numpy as _np
 
     total = 0
-    x0 = Y0 = U0 = u00 = om = None
+    om = None
     out = None
     while total < config.max_iters:
         step = min(chunk_iters, config.max_iters - total)
         cfg = _dcl.replace(config, max_iters=step)
         if vmapped:
             names = ("x0", "Y0", "U0", "u00", "omega0")
+            warm = [w for w in (x0, Y0, U0, u00, om) if w is not None]
+            wnames = [n for n, w in zip(names, (x0, Y0, U0, u00, om))
+                      if w is not None]
             fn = jax.vmap(lambda d, *w: solve_extensive_form(
                 arrays, model, d, probs, cfg, return_duals=True,
-                **(dict(zip(names, w)) if w else {})))
-            out = fn(deltas) if x0 is None else fn(deltas, x0, Y0, U0,
-                                                   u00, om)
+                **dict(zip(wnames, w))))
+            out = fn(deltas, *warm)
         else:
             out = solve_extensive_form(
                 arrays, model, deltas, probs, cfg, return_duals=True,

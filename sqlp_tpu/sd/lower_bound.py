@@ -699,11 +699,13 @@ def saa_ef_bound(arrays, scenario_model, espec, states: Sequence,
     if ef_config is None:
         ef_config = config.pdhg
     if refine_f64 is None:
-        # default: refine everywhere EXCEPT the TPU backend — emulated-
-        # f64 EF programs at this scale crash the axon TPU worker
-        # (reproduced 3x: "TPU worker process crashed ... kernel fault");
-        # on TPU the f32 certificates' feasibility residuals are instead
-        # measured and reported (dual_infeas_per_rep)
+        # default: refine everywhere EXCEPT the TPU backend. Emulated-f64
+        # EF programs kill the axon TPU worker even when chained in
+        # 2048-iteration chunks (so it is not a program-length issue like
+        # the f32 cases the chunked driver fixes — some f64 kernel in
+        # this program faults outright). On TPU the f32 certificates'
+        # feasibility residuals are measured and reported instead
+        # (dual_infeas_per_rep).
         refine_f64 = jax.default_backend() != "tpu"
     # chunked host loop: long single XLA programs kill the tunneled TPU
     # worker (models/crash.py:solve_extensive_form_chunked)
@@ -733,13 +735,17 @@ def saa_ef_bound(arrays, scenario_model, espec, states: Sequence,
             scenario_model)
         cfg64 = _dcl.replace(ef_config, tol=refine_tol,
                              max_iters=refine_iters)
-        ef64 = jax.vmap(lambda d, x0, Y0, U0, u00: solve_extensive_form(
-            arrays64, model64, d, probs_u.astype(jnp.float64), cfg64,
-            return_duals=True, x0=x0, Y0=Y0, U0=U0, u00=u00))
-        x_ef, obj_ef, stats64, duals, Y_ef, u0_ef = ef64(
-            deltas_u.astype(jnp.float64), x_ef.astype(jnp.float64),
-            Y_ef.astype(jnp.float64), duals.astype(jnp.float64),
-            u0_ef.astype(jnp.float64))
+        # short f64 chunks: emulated-f64 iterations are ~10x slower, so
+        # the per-program budget shrinks accordingly
+        x_ef, obj_ef, stats64, duals, Y_ef, u0_ef = \
+            solve_extensive_form_chunked(
+                arrays64, model64, deltas_u.astype(jnp.float64),
+                probs_u.astype(jnp.float64), cfg64,
+                chunk_iters=max(512, ef_chunk_iters // 8), vmapped=True,
+                x0=x_ef.astype(jnp.float64),
+                Y0=Y_ef.astype(jnp.float64),
+                U0=duals.astype(jnp.float64),
+                u00=u0_ef.astype(jnp.float64))
         ef_err = np.asarray(stats64["ef_err"], np.float64)
 
     # per-scenario recourse duals: EF block duals divided by their
