@@ -319,6 +319,8 @@ def _bench_certified(inst, config, n_reps: int, n_iters: int,
             "compromise_mc_ub": round(ub_c, 4),
             "compromise_mc_ub_half_width": round(hw_c, 4),
             "mc_ub_samples": int(n_ub),
+            "host_fallback_count": int(getattr(s, "host_fallback_count",
+                                               0)),
             "cert_gap": round((hi - lo) / max(abs(hi), 1e-9), 5)}
 
 

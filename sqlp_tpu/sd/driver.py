@@ -513,13 +513,23 @@ class SDSolver:
                         f"evaluated x for scenario row {b} — the evaluated "
                         f"point is likely outside the induced-feasible "
                         f"region (is x first-stage feasible?): {e}") from e
-            warnings.warn(
-                f"{bad.size}/{len(vals)} recourse LPs missed "
-                f"valid_tol={self.config.pdhg.valid_tol:g} in the MC "
-                f"evaluator even after the full device escalation ladder "
-                f"(pool-warm-started f32 retry, then f64 re-solve) — "
-                f"re-solved exactly on host. This should not happen on "
-                f"healthy instances; check the PDHG stats for this panel")
+            # Exceptional path: count it, and warn loudly only when it
+            # stops being exceptional (>1% of a panel). A handful of
+            # genuinely degenerate LPs per large panel resisting both
+            # f32 and capped-f64 device solves is expected noise; their
+            # exact host repair is unbiased and costs ~10 ms each. The
+            # cumulative count is exposed as ``host_fallback_count``.
+            self.host_fallback_count = (
+                getattr(self, "host_fallback_count", 0) + int(bad.size))
+            if bad.size > 0.01 * len(vals):
+                warnings.warn(
+                    f"{bad.size}/{len(vals)} recourse LPs missed "
+                    f"valid_tol={self.config.pdhg.valid_tol:g} in the MC "
+                    f"evaluator even after the full device escalation "
+                    f"ladder (pool-warm-started f32 retry, then f64 "
+                    f"re-solve) — re-solved exactly on host. At this "
+                    f"rate the panel is not healthy; check the PDHG "
+                    f"stats")
         return vals
 
     def _cost_panel(self, deltas):
