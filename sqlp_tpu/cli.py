@@ -435,7 +435,14 @@ def main(argv=None) -> int:
     import os
     if os.environ.get("JAX_PLATFORMS"):
         import jax
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        # ... but never clobber an explicit in-process selection: test
+        # suites (and embedders) set jax.config jax_platforms="cpu"
+        # BEFORE calling main, and this environment also presets
+        # JAX_PLATFORMS=axon — re-applying the env var here silently
+        # bounced those callers back onto the TPU plugin.
+        if not jax.config.jax_platforms:
+            jax.config.update("jax_platforms",
+                              os.environ["JAX_PLATFORMS"])
     if getattr(args, "coordinator", None):
         from sqlp_tpu.parallel.distributed import init_distributed
         init_distributed(
