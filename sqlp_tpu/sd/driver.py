@@ -803,7 +803,8 @@ class SDReplications(SDSolver):
                          self.prep_sub, self.states, self.config,
                          obj_scale=self.obj_scale,
                          max_rounds=polish_rounds, gap_tol=gap_tol,
-                         extra_scenarios=extra_scenarios, seed=seed)
+                         extra_scenarios=extra_scenarios, seed=seed,
+                         **kw)
         out = t_lower_bound(pol["lb_per_rep"], confidence)
         out["saa_ub_per_rep"] = pol["saa_ub_per_rep"]
         out["polish_rounds"] = pol["rounds"]

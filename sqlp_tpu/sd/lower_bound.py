@@ -211,7 +211,8 @@ def saa_polish(arrays, scenario_model, espec, prep_sub, states: Sequence,
                config, obj_scale: float = 1.0, max_rounds: int = 24,
                gap_tol: float = 1e-4, extra_scenarios: int = 0,
                seed: int = 9000, level_lambda: float = 0.3,
-               qp_rows_cap: int = 64) -> Dict:
+               qp_rows_cap: int = 64, fresh_scenarios: int = 0,
+               fresh_sampling: str = "stratified") -> Dict:
     """Level-bundle polish: drive each replication's certified lower bound
     toward its SAA optimum v_N.
 
@@ -306,10 +307,28 @@ def saa_polish(arrays, scenario_model, espec, prep_sub, states: Sequence,
     m2 = r64.shape[0]
 
     # ---- certification streams: stored panel (+ optional fresh i.i.d.
-    # extension, distinct keys per (replication, epigraph))
-    deltas_h = np.stack([_np64(s.scen_deltas)[:, :N_sd] for s in states])
-    weights_h = np.stack([_np64(s.scen_weights)[:, :N_sd] for s in states])
-    include_state_cuts = extra_scenarios <= 0
+    # extension, distinct keys per (replication, epigraph)), or fully
+    # fresh variance-reduced streams (same semantics and validity
+    # argument as saa_ef_bound's fresh_scenarios)
+    if fresh_scenarios > 0:
+        assert extra_scenarios == 0, \
+            "fresh_scenarios replaces the stream; extra_scenarios extends it"
+        key_f = jax.random.PRNGKey(seed)
+        deltas_h = np.stack([
+            np.stack([
+                np.asarray(sample_deltas(
+                    jax.random.fold_in(key_f, r * E + e), scenario_model,
+                    fresh_scenarios, method=fresh_sampling), np.float64)
+                for e in range(E)])
+            for r in range(R)])
+        weights_h = np.ones(deltas_h.shape[:3])
+        include_state_cuts = False
+    else:
+        deltas_h = np.stack([_np64(s.scen_deltas)[:, :N_sd]
+                             for s in states])
+        weights_h = np.stack([_np64(s.scen_weights)[:, :N_sd]
+                              for s in states])
+        include_state_cuts = extra_scenarios <= 0
     if extra_scenarios > 0:
         assert np.allclose(weights_h, 1.0, atol=1e-9), (
             "extended certification streams require unit scenario "
@@ -469,21 +488,23 @@ def saa_polish(arrays, scenario_model, espec, prep_sub, states: Sequence,
 
     for rounds in range(1, max_rounds + 1):
         if include_state_cuts or cuts[0]:
+            # the Kelley companion chases the BOUND model's argmin: cuts
+            # land exactly where the reported bound is attained, which is
+            # what raises it (with only the rich argmin evaluated, a
+            # fresh-stream newsvendor replication sat at the lb_e floor
+            # forever — no cut ever visited the corner attaining it)
             for r in range(R):
                 lb[r], x_kelley[r], _ = model_min(r, include_state_cuts)
         if include_state_cuts:
             # one model: the bound model IS the projection model
             lb_rich = lb
         else:
-            # The RICH model (SD cuts + polish cuts) drives the level and
-            # the Kelley companion — it matches the projection QP's rows,
-            # so the level set is never empty, and its argmin is a sane
-            # evaluation point from round 2 (the polish-only BOUND model
-            # starts near-vacuous and its argmin is a far corner; cutting
-            # blindly there re-creates the Kelley stall). Any evaluation
-            # point is valid — only the bound model must exclude SD cuts.
+            # the RICH model (SD cuts + polish cuts) drives the LEVEL:
+            # it matches the projection QP's rows, so the level set is
+            # never empty and projections stay in sane territory while
+            # the Kelley companion handles the bound model's weak spots
             for r in range(R):
-                lb_rich[r], x_kelley[r], _ = model_min(r, True)
+                lb_rich[r], _, _ = model_min(r, True)
         if rounds > 1:
             gap = (ub - lb) / (1.0 + np.abs(ub))
             if gap.max() <= gap_tol:
