@@ -229,6 +229,25 @@ def test_certified_bound_fresh_stratified_newsvendor():
     assert out["lb_half_width"] < 0.02
 
 
+def test_fresh_polish_hits_known_optima():
+    """polish + fresh Latin-hypercube streams: the bundle converges
+    exactly on small instances and stratification kills the SAA spread,
+    so the certified bound must land ON the known optimum (newsvendor
+    1.0) — the flagship property of the small-instance route (and the
+    regression test for the Kelley-companion fix: chasing only the rich
+    model's argmin left a replication stuck at the epigraph floor)."""
+    require_instance("newsvendor")
+    inst = load_instance("newsvendor", dtype=jnp.float64)
+    cfg = _CFG.replace(max_scenarios=256)
+    s = SDReplications(inst, cfg, n_replications=3, seed=5)
+    s.run(80)
+    out = s.certified_lower_bound(method="polish", polish_rounds=16,
+                                  fresh_scenarios=512)
+    assert np.all(np.abs(out["lb_per_rep"] - 1.0) < 1e-3), out["lb_per_rep"]
+    assert abs(out["lb_cert"] - 1.0) < 2e-3
+    assert np.all(out["polish_gap_per_rep"] < 1e-3)
+
+
 def test_cut_refresh_keeps_bound_valid():
     """cut_refresh_every rebuilds live cuts at their generating points at
     full weight; the refreshed model must still under-estimate the SAA
