@@ -327,6 +327,22 @@ class SDSolver:
         return cut_model_min(self.arrays, self.espec, self.state,
                              obj_scale=self.obj_scale)
 
+    def polish_decision(self, x0, n_scenarios: int = 8192,
+                        rounds: int = 12, rho: float = 20.0,
+                        seed: int = 4242, **kw):
+        """Proximal-bundle polish of a first-stage decision on a fresh
+        stratified panel (sd/compromise.py:polish_decision), with the
+        serious-step values certified by the evaluator's escalation
+        ladder. Evaluate the returned x on an INDEPENDENT sample for an
+        unbiased cost estimate."""
+        from sqlp_tpu.sd.compromise import polish_decision
+        return polish_decision(self.arrays, self.scenario_model,
+                               self.prep_sub, self.config, x0,
+                               obj_scale=self.obj_scale,
+                               n_scenarios=n_scenarios, rounds=rounds,
+                               rho=rho, seed=seed,
+                               values_fn=self._recourse_objs, **kw)
+
     def saa_lower_bound(self, max_rounds: int = 24,
                         gap_tol: float = 1e-4,
                         extra_scenarios: int = 0, seed: int = 9000) -> Dict:
