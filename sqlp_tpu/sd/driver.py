@@ -336,11 +336,13 @@ class SDSolver:
         ladder. Evaluate the returned x on an INDEPENDENT sample for an
         unbiased cost estimate."""
         from sqlp_tpu.sd.compromise import polish_decision
+        # rho is in USER objective units; the internal problem runs in
+        # scaled units (same convention as compromise_decision)
         return polish_decision(self.arrays, self.scenario_model,
                                self.prep_sub, self.config, x0,
                                obj_scale=self.obj_scale,
                                n_scenarios=n_scenarios, rounds=rounds,
-                               rho=rho, seed=seed,
+                               rho=rho / self.obj_scale, seed=seed,
                                values_fn=self._recourse_objs, **kw)
 
     def saa_lower_bound(self, max_rounds: int = 24,

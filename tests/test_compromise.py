@@ -128,3 +128,32 @@ def test_replications_evaluate_retry_path():
     exact = cost + sum(o * p for o, p in recourse)
     spread = max(o for o, _ in recourse) - min(o for o, _ in recourse)
     assert abs(ub - exact) < 0.5 * spread + 1e-6, (ub, exact)
+
+
+def test_polish_decision_descends_lands():
+    """Proximal-bundle decision polish: from a mid-quality start the
+    certified panel values must descend monotonically on serious steps
+    and beat the start (sd/compromise.py:polish_decision)."""
+    import jax.numpy as jnp
+    from sqlp_tpu.config import PDHGConfig, QPConfig, SDConfig
+    from sqlp_tpu.models.instance import load_instance
+    from sqlp_tpu.sd.driver import SDSolver
+
+    cfg = SDConfig(dtype="float64",
+                   max_scenarios=64, max_dual_vertices=64, max_cuts=16,
+                   pdhg=PDHGConfig(tol=1e-7, max_iters=20_000),
+                   qp=QPConfig(tol=1e-9, max_iters=4_000))
+    inst = load_instance("lands", dtype=jnp.float64)
+    solver = SDSolver(inst, cfg, x0=np.array([3.0, 3.0, 3.0, 3.0]),
+                      seed=0)
+    x0 = np.array([3.0, 3.0, 3.0, 3.0])
+    x_pol, info = solver.polish_decision(x0, n_scenarios=512, rounds=8,
+                                         rho=5.0)
+    vals = np.asarray(info["values"])
+    assert info["f_best"] <= vals[0] - 0.5, info
+    # serious steps never increase the best value
+    assert info["f_best"] == vals[info["serious_steps"]].min()
+    # the polished decision is first-stage feasible
+    a = inst.arrays
+    assert np.all(x_pol >= np.asarray(a.lb1) - 1e-9)
+    assert np.all(x_pol <= np.asarray(a.ub1) + 1e-9)
