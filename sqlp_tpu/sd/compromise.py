@@ -18,7 +18,7 @@ multi-epigraph state — exactly the machinery the per-iteration master uses
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
