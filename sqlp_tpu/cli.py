@@ -220,13 +220,14 @@ def _solve_replicated(args, config, inst, espec, x0) -> int:
         # Latin-hypercube streams + Student-t aggregation
         # (sd/lower_bound.py; a VALID bound, unlike the lb_est proxy)
         t0 = time.time()
-        cert = s.certified_lower_bound(
-            method=args.certify_method,
-            fresh_scenarios=args.certify_scenarios)
+        kw = ({"fresh_scenarios": args.certify_scenarios}
+              if args.certify_method == "ef" else {})
+        cert = s.certified_lower_bound(method=args.certify_method, **kw)
         lo = cert["lb_mean"] - cert["lb_half_width"]
         hi = ub_comp + ub_hw
         print(f"certified in {time.time() - t0:.1f}s over "
-              f"{cert['n_scenarios']}-scenario streams", file=sys.stderr)
+              f"{cert.get('n_scenarios', 0)}-scenario streams",
+              file=sys.stderr)
         print(f"lb_cert={cert['lb_cert']:.6f} "
               f"(mean={cert['lb_mean']:.6f} "
               f"hw={cert['lb_half_width']:.6f}, 95% t, R={R})")

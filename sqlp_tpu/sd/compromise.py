@@ -134,8 +134,10 @@ def polish_decision(arrays, scenario_model, prep_sub, config, x0,
     (evaluate_ci with a different seed), or selection bias contaminates
     it.
 
-    ``values_fn`` (e.g. ``SDSolver._recourse_objs``) supplies certified
-    per-element recourse objectives for the serious-step test; without
+    ``values_fn`` (e.g. ``SDSolver._recourse_objs``; called as
+    ``values_fn(H, obj0=..., valid0=...)`` so the round's own solve is
+    reused) supplies certified per-element recourse objectives for the
+    serious-step test; without
     it the raw kernel objectives are used, and the few uncertified
     elements' inflated values were measured to swamp the per-step
     objective differences entirely (ssn: a 1e-3-norm x move "changed"
@@ -213,7 +215,11 @@ def polish_decision(arrays, scenario_model, prep_sub, config, x0,
                                         Y0=Y0, L0=L0)
         Y0, L0 = Y, Pi
         if values_fn is not None:
-            vals = values_fn(H)
+            # reuse this round's solve: values_fn only runs the
+            # escalation ladder on the uncertified residue instead of
+            # re-solving the whole panel (it was measured doubling the
+            # dominant per-round cost)
+            vals = values_fn(H, obj0=obj, valid0=stats["pdhg_valid"])
         else:
             vals = np.asarray(obj, np.float64)
         f_x = float(c64 @ x + p @ vals)

@@ -387,7 +387,8 @@ class SDSolver:
             self._prep_sub64_cache = cached
         return cached
 
-    def _recourse_objs(self, H, Q=None) -> np.ndarray:
+    def _recourse_objs(self, H, Q=None, obj0=None, valid0=None
+                       ) -> np.ndarray:
         """Recourse objectives for an RHS panel, certified per element.
         ``Q`` ([B, n2], optional): per-scenario objectives on random-cost
         instances — threaded through the device solve, the device retries,
@@ -409,7 +410,13 @@ class SDSolver:
 
         B = H.shape[0]
         Qn = None if Q is None else np.asarray(Q, np.float64)
-        if self.mesh is not None:
+        if obj0 is not None:
+            assert self.mesh is None, \
+                "solve reuse is a single-device path"
+            Hn_host = None
+            vals = np.array(obj0, np.float64)
+            valid = np.asarray(valid0)
+        elif self.mesh is not None:
             # shard the panel over the mesh batch axis (SURVEY §5.7: MC
             # evaluation is one of the two sharded parallel axes); pad to
             # the mesh size with copies of row 0, discarded after

@@ -57,10 +57,20 @@ def load_state(path: str, template: Optional[SDState] = None) -> SDState:
     # predates round 4; any feasible point is a valid generating point,
     # so default legacy checkpoints to the incumbent.
     if "cut_x" not in fields and "cut_alpha" in fields:
-        E, K = fields["cut_alpha"].shape
-        fields["cut_x"] = np.broadcast_to(
-            fields["x_incumbent"], (E, K) + fields["x_incumbent"].shape
-        ).copy()
+        # single-run states are [E, K]; replicated checkpoints carry a
+        # leading replication axis ([R, E, K] cut_alpha, [R, n1]
+        # x_incumbent) — default each replication's generating points to
+        # its own incumbent
+        ca = fields["cut_alpha"]
+        xi = np.asarray(fields["x_incumbent"])
+        if ca.ndim == 2:
+            E, K = ca.shape
+            fields["cut_x"] = np.broadcast_to(
+                xi, (E, K) + xi.shape).copy()
+        else:
+            R, E, K = ca.shape
+            fields["cut_x"] = np.broadcast_to(
+                xi[:, None, None, :], (R, E, K, xi.shape[-1])).copy()
     missing = names - fields.keys()
     if missing:
         # Forward compatibility with checkpoints written before SDState

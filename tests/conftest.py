@@ -23,7 +23,11 @@ _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
 # XLA's compile threads on ~8 MB stacks (the previous fix's remaining
 # flake). 512 MB is virtual address space, lazily paged.
 _want = 512 << 20
-if _soft != resource.RLIM_INFINITY and _soft < _want:
+# ... including LOWERING an "unlimited" soft limit to the finite value:
+# glibc treats RLIM_INFINITY as "use the small built-in default" when
+# sizing pthread stacks, so unlimited is the broken case, not the good
+# one.
+if _soft == resource.RLIM_INFINITY or _soft < _want:
     if _hard != resource.RLIM_INFINITY:
         _want = min(_want, _hard)
     try:

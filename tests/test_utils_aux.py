@@ -143,3 +143,32 @@ def test_metrics_jsonl_sink(tmp_path):
     assert "x_candidate" not in lines[0]
     assert "bad" not in lines[1]
     assert "wall_s" in lines[0]
+
+
+def test_checkpoint_legacy_replicated_cut_x(tmp_path):
+    """Pre-round-4 REPLICATED checkpoints (no cut_x field, [R, E, K] cut
+    arrays) must load with per-replication incumbent defaults — the shim
+    originally assumed single-run shapes and crashed unpacking."""
+    from sqlp_tpu.sd.driver import SDReplications
+
+    cfg = SDConfig(dtype="float64", max_scenarios=16, max_dual_vertices=16,
+                   max_cuts=4,
+                   pdhg=PDHGConfig(tol=1e-6, max_iters=2000),
+                   qp=QPConfig(tol=1e-7, max_iters=2000))
+    inst = load_instance("lands", dtype=jnp.float64)
+    s = SDReplications(inst, cfg, n_replications=2, seed=0,
+                       x0=np.array([3.0, 3.0, 3.0, 3.0]))
+    s.run(3)
+    path = str(tmp_path / "legacy.npz")
+    save_state(path, s.state, instance="lands")
+    with np.load(path) as z:
+        fields = {k: z[k] for k in z.files if k != "cut_x"}
+    np.savez(path, **fields)
+
+    restored = load_state(path)
+    R, E, K = np.asarray(s.state.cut_alpha).shape
+    assert restored.cut_x.shape == (R, E, K, inst.n1)
+    xi = np.asarray(s.state.x_incumbent)
+    np.testing.assert_allclose(
+        np.asarray(restored.cut_x),
+        np.broadcast_to(xi[:, None, None, :], (R, E, K, inst.n1)))
