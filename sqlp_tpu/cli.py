@@ -378,7 +378,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "statistical lower bound and optimality gap "
                          "(EF dual certificates + Student-t)")
     ps.add_argument("--certify-method", default="ef",
-                    choices=["ef", "polish", "model"])
+                    choices=["ef", "polish", "model"],
+                    help="per-replication bound: 'ef' (extensive-form "
+                         "dual certificates — high-dimensional first "
+                         "stages, e.g. ssn), 'polish' (level-bundle — "
+                         "exact on low-dimensional instances), 'model' "
+                         "(free; where the SD cut model is already "
+                         "tight, e.g. storm). See RESULTS.md's suite "
+                         "table")
     ps.add_argument("--certify-scenarios", type=int, default=3000,
                     help="fresh Latin-hypercube certification scenarios "
                          "per replication (0: certify the SD stream)")
