@@ -225,6 +225,21 @@ def _certification_streams(states, scenario_model, R, E, N_sd,
     import jax
     from sqlp_tpu.models.scenario import sample_deltas
 
+    # the admissibility decision below reads states[0] only; replications
+    # are lockstep today, but states resumed from mixed checkpoints (or a
+    # future per-replication stopping rule) could disagree — and silently
+    # admitting invalid SD cuts for an overflowed replication would break
+    # the bound. Fail loudly instead.
+    drops = [int(np.asarray(s.scen_dropped)) for s in states]
+    counts = [np.asarray(s.n_scen) for s in states]
+    assert all((d == 0) == (drops[0] == 0) for d in drops), (
+        f"replications disagree on reservoir overflow ({drops}); the "
+        "SD-cut admissibility decision is shared — certify these states "
+        "separately or use fresh_scenarios")
+    assert all(np.array_equal(c, counts[0]) for c in counts), (
+        "replications disagree on per-epigraph scenario counts; "
+        "certify these states separately or use fresh_scenarios")
+
     if fresh_scenarios > 0:
         assert extra_scenarios == 0, \
             "fresh_scenarios replaces the stream; extra_scenarios extends it"
@@ -313,8 +328,11 @@ def saa_polish(arrays, scenario_model, espec, prep_sub, states: Sequence,
 
     Returns (bounds in unscaled objective units):
       lb_per_rep      final exact cut-model minima, one per replication
-      saa_ub_per_rep  best exact-sample SAA value found per replication
-                      (an upper bound on v_N, NOT on the true optimum)
+      saa_ub_per_rep  best SAA value ESTIMATE found per replication, from
+                      the PDHG primal objectives at the visited points —
+                      an estimate of (not a certified bound on) v_N, used
+                      as the bundle's stopping signal; it is not a bound
+                      on the true optimum either
       gap_per_rep     final relative bundle gap per replication
       rounds          rounds executed
       n_scenarios     certification-stream length per epigraph
@@ -832,6 +850,23 @@ def t_lower_bound(per_rep: np.ndarray, confidence: float = 0.95) -> Dict:
 
     per_rep = np.asarray(per_rep, np.float64)
     R = per_rep.shape[0]
+    if not np.all(np.isfinite(per_rep)):
+        # rejected certificates arrive as -inf (saa_ef_bound); without this
+        # the mean/std arithmetic turns them into nan and the CLI prints
+        # "lb_cert=nan" instead of a visible failure
+        bad = np.flatnonzero(~np.isfinite(per_rep)).tolist()
+        warnings.warn(
+            f"replications {bad} carry non-finite lower bounds (rejected "
+            f"or failed certificates); lb_cert is -inf — re-run those "
+            f"replications with a larger certification budget")
+        return {
+            "lb_cert": -math.inf,
+            "lb_mean": -math.inf,
+            "lb_half_width": math.inf,
+            "lb_per_rep": per_rep,
+            "confidence": confidence,
+            "n_replications": R,
+        }
     mean = float(per_rep.mean())
     if R > 1:
         t = float(scipy.stats.t.ppf(0.5 * (1.0 + confidence), R - 1))

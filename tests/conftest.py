@@ -42,15 +42,28 @@ if _soft == resource.RLIM_INFINITY or _soft < _want:
 # exhausts roughly 30 tests in, at which point LLVM reports "Cannot
 # allocate memory" and the process dies with SIGSEGV/SIGABRT mid-compile
 # (the suite's long-standing flaky crash — reproduced with capture off).
-# Writable as root (this image); best-effort elsewhere.
+# Writable as root (this image); best-effort elsewhere. The previous value
+# is restored at session teardown (pytest_sessionfinish below) so running
+# the tests does not permanently reconfigure the host kernel.
+_prev_max_map_count = None
 try:
     with open("/proc/sys/vm/max_map_count") as _fh:
         _cur = int(_fh.read())
     if _cur < 1_048_576:
         with open("/proc/sys/vm/max_map_count", "w") as _fh:
             _fh.write("1048576")
+        _prev_max_map_count = _cur
 except OSError:
     pass
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if _prev_max_map_count is not None:
+        try:
+            with open("/proc/sys/vm/max_map_count", "w") as _fh:
+                _fh.write(str(_prev_max_map_count))
+        except OSError:
+            pass
 
 # Force CPU: the session environment presets a TPU plugin (axon) that is
 # registered by a sitecustomize at interpreter startup — BEFORE this

@@ -322,6 +322,19 @@ def test_ef_chunked_matches_continuous():
     assert float(r2[2]["ef_err"]) <= float(r2[2]["ef_err0"]) * (1 + 1e-6)
 
 
+def test_t_lower_bound_rejected_replication_is_visible():
+    """A rejected certificate (-inf per-rep bound) must surface as a
+    visible -inf lb_cert with a warning naming the replication — not as
+    nan from mean/std arithmetic (the CLI printed 'lb_cert=nan')."""
+    from sqlp_tpu.sd.lower_bound import t_lower_bound
+
+    with pytest.warns(UserWarning, match=r"replications \[1\]"):
+        out = t_lower_bound(np.array([9.5, -np.inf, 9.7]))
+    assert out["lb_cert"] == -np.inf
+    assert out["lb_mean"] == -np.inf
+    assert not np.isnan(out["lb_cert"])
+
+
 def test_certified_bound_single_replication_warns():
     require_instance("lands")
     inst = load_instance("lands", dtype=jnp.float64)
