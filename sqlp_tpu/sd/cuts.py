@@ -39,6 +39,34 @@ class Cut(NamedTuple):
     beta: jax.Array   # [n1] or [E, n1]
 
 
+def quantized_argmax(scores: jax.Array) -> jax.Array:
+    """Tiling-invariant argmax over axis 0 of a [D, S] score panel.
+
+    Matmul-produced scores carry reassociation noise that depends on how
+    XLA tiles the reduction, so a near-tied exact argmax flips between
+    mesh-sharded and single-device runs (and between device counts),
+    breaking bitwise trajectory equality (tests/test_parallel.py,
+    __graft_entry__.dryrun_multichip). Scores are therefore floored to a
+    quantum relative to the per-scenario best before the argmax — any
+    vertex within the quantum of the best is an equally good cut
+    contributor, and ties inside a cell resolve to the lowest pool index
+    on every tiling. The max reduction itself is exact under any
+    association, so the quantum is tiling-invariant too. Same pattern as
+    the pool warm-start pick (sd/algorithm.py), with a dtype-matched
+    quantum: reassociation noise is ~1e-6 relative in f32 (HIGHEST
+    precision) and ~1e-15 in f64, so the quantum stays far above the
+    noise and far below cut-quality relevance.
+    """
+    eps = 1e-4 if scores.dtype == jnp.float32 else 1e-9
+    best = jnp.max(scores, axis=0)                         # [S], exact
+    # empty-pool / all-masked columns have best = -inf; a finite fallback
+    # quantum keeps floor() out of nan territory (argmax then yields 0,
+    # matching the exact argmax on an all--inf column)
+    quantum = jnp.where(jnp.isfinite(best),
+                        eps * (1.0 + jnp.abs(best)), 1.0)
+    return jnp.argmax(jnp.floor(scores / quantum), axis=0)
+
+
 def argmax_duals(duals: jax.Array, n_duals: jax.Array,
                  base: jax.Array, rv_row: jax.Array,
                  eff_deltas: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -47,7 +75,9 @@ def argmax_duals(duals: jax.Array, n_duals: jax.Array,
     scores[d, s] = pi_d @ (base + scatter(eff_deltas[s])) computed as a base
     matvec plus a [D,R]x[R,S] matmul over the random positions only — the
     delta panel never materializes dense [S, m2] (the reference's per-
-    scenario sparse delta dot, subprob.jl:128-131, vectorized).
+    scenario sparse delta dot, subprob.jl:128-131, vectorized). The pick
+    is the tiling-invariant quantized argmax (:func:`quantized_argmax`);
+    the returned value is the exact maximum.
 
     Args:
       duals: [D, m2] pool; n_duals: live count.
@@ -63,8 +93,7 @@ def argmax_duals(duals: jax.Array, n_duals: jax.Array,
     scores = base_scores[:, None] + delta_scores
     live = (jnp.arange(D) < n_duals)[:, None]
     scores = jnp.where(live, scores, -jnp.inf)
-    best = jnp.argmax(scores, axis=0)                      # [S]
-    return jnp.max(scores, axis=0), best
+    return jnp.max(scores, axis=0), quantized_argmax(scores)
 
 
 def build_sasa_cut(arrays: InstanceArrays, model: ScenarioModel,
@@ -126,7 +155,7 @@ def build_sasa_cut(arrays: InstanceArrays, model: ScenarioModel,
             tol_k = 1e-4 * (1.0 + jnp.abs(model.base[k]))
             viol = slack[:, None] > scen_deltas[:, k][None, :] + tol_k
             scores = jnp.where(viol, -jnp.inf, scores)
-        best = jnp.argmax(scores, axis=0)                   # [S]
+        best = quantized_argmax(scores)                     # [S]
     else:
         _, best = argmax_duals(duals, n_duals, base, model.rv_row, eff)
 

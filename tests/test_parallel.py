@@ -179,18 +179,16 @@ def test_dual_pool_sharded_matches_single_device():
     s8 = shard_state(init_state(inst, espec, _CFG, x0,
                                 jax.random.PRNGKey(3)), mesh,
                      shard_duals=True)
-    # Sharding the dual pool reassociates the argmax-score reduction, so a
-    # near-tied dual argmax can flip earlier than in the scenario-sharded
-    # run (observed: iteration 11 on one host, 17 on another), after which
-    # the trajectories are distinct-but-both-valid SD runs. Exact agreement
-    # is asserted over a window short enough to be machine-portable; the
-    # full 12 iterations are then held to solution-level consistency.
+    # Sharding the dual pool reassociates the argmax-score reduction;
+    # the SASA argmax is quantized (sd/cuts.py:quantized_argmax) so
+    # near-tie picks are tiling-invariant and the sharded trajectory
+    # matches the single-device one at EVERY iteration.
     for it in range(12):
         s8, _ = sd_step(arrays, model, espec_r, prep_r, s8, _CFG)
-        if it == 7:
-            np.testing.assert_allclose(np.asarray(s1_hist[7]),
-                                       np.asarray(s8.x_candidate),
-                                       atol=1e-8)
+        np.testing.assert_allclose(np.asarray(s1_hist[it]),
+                                   np.asarray(s8.x_candidate),
+                                   atol=1e-8,
+                                   err_msg=f"diverged at iteration {it}")
 
     scale = abs(float(s1.cand_est)) + 1.0
     assert abs(float(s1.cand_est) - float(s8.cand_est)) / scale < 5e-3
@@ -238,10 +236,10 @@ def test_mesh_2d_duals_by_scenarios():
 
     for it in range(12):
         s2d, _ = sd_step(arrays, model, espec_r, prep_r, s2d, _CFG)
-        if it == 7:
-            np.testing.assert_allclose(s1_hist[7],
-                                       np.asarray(s2d.x_candidate),
-                                       atol=1e-8)
+        np.testing.assert_allclose(s1_hist[it],
+                                   np.asarray(s2d.x_candidate),
+                                   atol=1e-8,
+                                   err_msg=f"diverged at iteration {it}")
 
     scale = abs(float(s1.cand_est)) + 1.0
     assert abs(float(s1.cand_est) - float(s2d.cand_est)) / scale < 5e-3
