@@ -137,6 +137,20 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
     eq1 = arrays.senses1 == SENSE_E
     eq2 = arrays.senses2 == SENSE_E
 
+    # --- sqrt(p_s) symmetric block scaling. The EF's scenario objective
+    # q_s is p_s-weighted while its constraint blocks are O(1), so in the
+    # raw formulation the y-blocks' gradient (and dual magnitudes) shrink
+    # like 1/S while x's stay O(1): a single global primal weight cannot
+    # balance both, and the per-step relative y progress decays like 1/S
+    # (measured on storm: S=16 stalls at true objective error 1e-3 after
+    # 40k iterations; S=64 was ~30% high at the reported floor). The
+    # change of variables y~_s = sqrt(p_s) y_s with scenario rows scaled
+    # by sqrt(p_s) keeps W SHARED across blocks (the sqrt cancels in
+    # W y_s), scales T/rhs/bounds/objective per block by sqrt(p_s), and
+    # makes the relative per-step progress S-independent.
+    sp_s = jnp.sqrt(probs.astype(dtype))                              # [S]
+    spc = sp_s[:, None]
+
     # per-scenario flipped rhs: f2 * (r + scatter(delta_r)); transfer-matrix
     # randomness patches Tf per scenario — supported via the effective-rhs
     # trick only for RHS positions; transfer positions contribute through
@@ -146,7 +160,7 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
     rhs_delta = rhs_delta * r2[model.rv_row][None, :]
     r_s = jnp.broadcast_to(arrays.r, (S, m2))
     r_s = r_s.at[:, model.rv_row].add(rhs_delta)
-    h2 = r_s * f2[None, :]                                            # [S, m2]
+    h2 = r_s * f2[None, :] * spc                                      # [S, m2]
     b1f = arrays.b1 * f1
 
     # per-scenario transfer deltas (columns of T): dT[s] has entries
@@ -158,16 +172,17 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
     tr_delta = tr_delta * (r2[model.rv_row] * cx[model.rv_col])[None, :]
 
     def T_apply(x):
-        """[S, m2] = (Tf + dTf_s) x for all scenarios (scaled space)."""
+        """[S, m2] = sqrt(p_s) (Tf + dTf_s) x for all scenarios (scaled
+        space)."""
         base = _dot(arrays.T, x)                                      # [m2]
         out = jnp.broadcast_to(base, (S, m2))
         contrib = tr_delta * x[model.rv_col][None, :]                 # [S, R]
         out = out.at[:, model.rv_row].add(contrib)
-        return out * f2[None, :]
+        return out * f2[None, :] * spc
 
     def Tt_apply(U):
-        """[n1] = sum_s (Tf + dTf_s)' U_s."""
-        Uf = U * f2[None, :]
+        """[n1] = sum_s sqrt(p_s) (Tf + dTf_s)' U_s."""
+        Uf = U * f2[None, :] * spc
         out = _dot(arrays.T.T, jnp.sum(Uf, axis=0))
         contrib = tr_delta * Uf[:, model.rv_row]                      # [S, R]
         out = out.at[model.rv_col].add(jnp.sum(contrib, axis=0))
@@ -200,6 +215,9 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
     ub1 = jnp.where(jnp.isfinite(arrays.ub1), arrays.ub1, _BIG)
     lb2 = jnp.where(jnp.isfinite(arrays.lb2), arrays.lb2, -_BIG)
     ub2 = jnp.where(jnp.isfinite(arrays.ub2), arrays.ub2, _BIG)
+    # y~-space box: sqrt(p_s)-scaled per scenario
+    lb2Y = lb2[None, :] * spc                                 # [S, n2]
+    ub2Y = ub2[None, :] * spc
 
     # per-scenario objective: random COST deltas (reference TODO 6) patch
     # q_s = q + scatter(cost deltas); the deltas pick up the objective
@@ -209,7 +227,8 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
     cost_delta = cost_delta * (cy[model.rv_ycol] / obj_s)[None, :]
     q_s = jnp.broadcast_to(arrays.q, (S, n2)).at[:, model.rv_ycol].add(
         cost_delta)
-    qS = probs[:, None] * q_s                                         # [S, n2]
+    # p_s q_s in y-units becomes sqrt(p_s) q_s in y~-units
+    qS = spc * q_s                                                    # [S, n2]
 
     # PDLP primal-weight initialization (||objective|| / ||rhs||): keeps
     # the primal/dual step balance scale-free — a fixed omega=1 with the
@@ -234,7 +253,7 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
             x, Y, u0, U, xs, Ys, us, Us = c
             gx, gY = Kt_apply(u0, U)
             x1 = jnp.clip(x - tau * (arrays.c - gx), lb1, ub1)
-            Y1 = jnp.clip(Y - tau * (qS - gY), lb2, ub2)
+            Y1 = jnp.clip(Y - tau * (qS - gY), lb2Y, ub2Y)
             kx, kY = K_apply(2.0 * x1 - x, 2.0 * Y1 - Y)
             u01, U1 = proj_dual(u0 + sig * (b1f - kx), U + sig * (h2 - kY))
             return (x1, Y1, u01, U1, xs + x1, Ys + Y1, us + u01, Us + U1)
@@ -272,9 +291,11 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
                 - jnp.sum(jnp.maximum(-gx, 0) * jnp.where(
                     jnp.isfinite(arrays.ub1), arrays.ub1, 0.0))
                 + jnp.sum(jnp.maximum(gY, 0) * jnp.where(
-                    jnp.isfinite(arrays.lb2), arrays.lb2, 0.0)[None, :])
+                    jnp.isfinite(arrays.lb2), arrays.lb2, 0.0)[None, :]
+                    * spc)
                 - jnp.sum(jnp.maximum(-gY, 0) * jnp.where(
-                    jnp.isfinite(arrays.ub2), arrays.ub2, 0.0)[None, :]))
+                    jnp.isfinite(arrays.ub2), arrays.ub2, 0.0)[None, :]
+                    * spc))
         gap = jnp.abs(pobj - dobj) / (1.0 + jnp.abs(pobj) + jnp.abs(dobj))
         return jnp.maximum(jnp.maximum(pres, dres), gap), pobj
 
@@ -326,16 +347,16 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
     else:
         xi = jnp.clip(x0.astype(dtype) / cx, lb1, ub1)
     if Y0 is None:
-        Yi = jnp.clip(jnp.zeros((S, n2), dtype), lb2, ub2)
+        Yi = jnp.clip(jnp.zeros((S, n2), dtype), lb2Y, ub2Y)
     else:
-        Yi = jnp.clip(Y0.astype(dtype) / cy[None, :], lb2, ub2)
+        Yi = jnp.clip(Y0.astype(dtype) / cy[None, :] * spc, lb2Y, ub2Y)
     if U0 is None:
         Ui = jnp.zeros((S, m2), dtype)
     else:
-        # invert the dual unscaling below (duals = Ub * r2 * f2 * obj_s)
+        # invert the dual unscaling below (duals = Ub * r2 * f2 * sp * obj_s)
         Ui = proj_dual(jnp.zeros((m1,), dtype),
                        U0.astype(dtype) * f2[None, :]
-                       / (r2[None, :] * obj_s))[1]
+                       / (r2[None, :] * obj_s * spc))[1]
     if u00 is None:
         u0i = jnp.zeros((m1,), dtype)
     else:
@@ -370,11 +391,12 @@ def solve_extensive_form(arrays: InstanceArrays, model: ScenarioModel,
     # xb lives in column-scaled space; undo for the caller
     if return_duals:
         # scenario-row duals back to original rows/objective: the rows
-        # were scaled by r2 and sense-flipped by f2, the objective by
-        # 1/obj_s — same unscale pattern as ops/pdhg.py (Pi_out =
-        # L * row_scale * flip); the y blocks undo the column scaling
-        duals = Ub * (r2 * f2)[None, :] * obj_s
-        return (cx * xb, obj, stats, duals, cy[None, :] * Yb,
+        # were scaled by r2, sense-flipped by f2, and sqrt(p_s)-block-
+        # scaled; the objective by 1/obj_s — same unscale pattern as
+        # ops/pdhg.py (Pi_out = L * row_scale * flip); the y blocks undo
+        # the column AND sqrt(p_s) scaling
+        duals = Ub * (r2 * f2)[None, :] * obj_s * spc
+        return (cx * xb, obj, stats, duals, cy[None, :] * Yb / spc,
                 ub0 * (r1 * f1) * obj_s)
     return cx * xb, obj, stats
 

@@ -820,7 +820,8 @@ class SDReplications(SDSolver):
                               **kw)
             out = t_lower_bound(ef["lb_per_rep"], confidence)
             for k in ("ef_obj_per_rep", "ef_err_per_rep",
-                      "dual_infeas_per_rep", "n_scenarios"):
+                      "dual_infeas_per_rep", "cut_correction_per_rep",
+                      "host_exact_count", "n_unrefined", "n_scenarios"):
                 out[k] = ef[k]
             return out
         assert method == "polish", method
