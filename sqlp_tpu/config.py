@@ -201,11 +201,10 @@ class SDConfig:
     # regeneration, epigraph.jl:83). Refreshed cuts are ordinary SASA
     # cuts at the stored points, so validity is unchanged. Cost: one
     # batched argmax matmul sweep over the E*K stored points per refresh.
-    # 0 disables (reference-parity default). Caveat: under
-    # sd_run_replicated the refresh graph is E*K cut builds vmapped over
-    # R replications — at flagship sizes (K=96, R=8, ssn) the XLA
-    # compile wedged the tunneled remote compiler; use single-run
-    # refresh or shrink max_cuts for replicated refresh runs.
+    # 0 disables (reference-parity default). The replicated path
+    # rebuilds via lax.scan over the K cut slots (one build in the
+    # graph, vmapped over R and E) — the fully-vmapped E*K rebuild
+    # wedged the remote XLA compiler at flagship sizes (K=96, R=8, ssn).
     cut_refresh_every: int = 0
 
     # --- subproblem dual warm start ---

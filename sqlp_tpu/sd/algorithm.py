@@ -95,18 +95,36 @@ def _quad_scalar_schedule(state: SDState, config: SDConfig):
 
 
 def _refresh_cuts(arrays: InstanceArrays, model: ScenarioModel,
-                  state: SDState) -> SDState:
+                  state: SDState, scan_k: bool = False) -> SDState:
     """Rebuild every live stored cut at its generating point against the
     CURRENT dual pool and scenario store, full weight (config
     .cut_refresh_every). A refreshed cut is an ordinary SASA cut at the
     stored x, so validity is untouched; the weight_mark reset removes
     the accumulated 1/N decay (the reference regenerates only the
-    incumbent cut this way, epigraph.jl:83)."""
+    incumbent cut this way, epigraph.jl:83).
+
+    ``scan_k``: iterate the K cut slots with ``lax.scan`` instead of
+    ``vmap``. The vmapped rebuild unrolls E*K cut builds into one graph
+    — vmapped again over R replications at flagship sizes (K=96, R=8)
+    it wedged the remote XLA compiler — while the scan keeps ONE build
+    in the graph (still vmapped over E and R, so the matmuls stay
+    batched) at a K-fold smaller program. Single runs keep the fused
+    vmap (one batched sweep, measured ~4% of wall at refresh_every=512).
+    """
     live = state.cut_live
 
-    def per_epi(sd, sw, tw, X):
-        return jax.vmap(lambda x: build_sasa_cut(
-            arrays, model, state.duals, state.n_duals, sd, sw, tw, x))(X)
+    if scan_k:
+        def per_epi(sd, sw, tw, X):
+            def body(carry, x):
+                return carry, build_sasa_cut(
+                    arrays, model, state.duals, state.n_duals, sd, sw,
+                    tw, x)
+            return jax.lax.scan(body, None, X)[1]
+    else:
+        def per_epi(sd, sw, tw, X):
+            return jax.vmap(lambda x: build_sasa_cut(
+                arrays, model, state.duals, state.n_duals, sd, sw, tw,
+                x))(X)
 
     cuts = jax.vmap(per_epi)(state.scen_deltas, state.scen_weights,
                              state.total_weight, state.cut_x)
@@ -625,7 +643,8 @@ def sd_step_replicated(arrays: InstanceArrays, model: ScenarioModel,
         states = jax.lax.cond(
             do,
             lambda ss: jax.vmap(
-                lambda s: _refresh_cuts(arrays, model, s))(ss),
+                lambda s: _refresh_cuts(arrays, model, s, scan_k=True)
+            )(ss),
             lambda ss: ss, states)
 
     key, store, H, L0, Q = jax.vmap(
