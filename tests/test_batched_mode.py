@@ -6,6 +6,7 @@ makes a B-batch equivalent to B unit-weight scenario insertions; B > 1
 amortizes the master solve and fills the subproblem batch."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from sqlp_tpu.config import PDHGConfig, QPConfig, SDConfig
@@ -15,6 +16,7 @@ from sqlp_tpu.sd.driver import SDSolver
 from conftest import require_instance
 
 
+@pytest.mark.slow
 def test_lands_batch4():
     require_instance("lands")
     inst = load_instance("lands", dtype=jnp.float64)
@@ -37,6 +39,7 @@ def test_lands_batch4():
     assert abs(ub - 381.8533) < 6.0
 
 
+@pytest.mark.slow
 def test_scenario_store_saturation_no_cut_decay():
     """Once the store saturates, new cuts must stay full-strength SAA
     estimates over the stored (i.i.d.) panel. Regression: normalizing by
@@ -65,6 +68,7 @@ def test_scenario_store_saturation_no_cut_decay():
     assert abs(ub - 381.8533) < 6.0
 
 
+@pytest.mark.slow
 def test_scenario_store_reservoir_refreshes_after_saturation():
     """Past capacity the store must keep refreshing as a uniform subsample
     of the stream (reservoir sampling), not freeze its first S-B entries

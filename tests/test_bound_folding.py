@@ -113,6 +113,7 @@ def test_extensive_form_golden(inst):
     assert abs(float(x[0]) - EXACT_X) <= 1e-2
 
 
+@pytest.mark.slow
 def test_sd_converges_with_folded_bounds(inst):
     """End to end: SD on the folded system converges to the true optimum
     — the configuration the reference can only warn about."""

@@ -102,6 +102,7 @@ def _saa_ef_optimum(inst, state, epi: int = 0) -> float:
     return float(res.fun)
 
 
+@pytest.mark.slow
 def test_cut_model_min_bounds_saa_optimum_lands():
     """After 60 lands iterations the exact cut-model minimum must sit at
     or below the SAA extensive-form optimum over the same 60 scenarios —
@@ -120,6 +121,7 @@ def test_cut_model_min_bounds_saa_optimum_lands():
     assert lb <= solver.lower_estimate + 1e-8
 
 
+@pytest.mark.slow
 def test_cut_model_min_vs_estimate_scaled_f32():
     """With objective normalization + f32 state (production mode) the
     host f64 LP still agrees with the on-device model: min <= value at
@@ -137,6 +139,7 @@ def test_cut_model_min_vs_estimate_scaled_f32():
     assert lb > 300.0
 
 
+@pytest.mark.slow
 def test_certified_bound_replications_newsvendor():
     """R=4 newsvendor replications with the Benders polish (default):
     every per-replication bound must equal its own SAA extensive-form
@@ -176,6 +179,7 @@ def test_certified_bound_replications_newsvendor():
     assert np.all(ef["dual_infeas_per_rep"] <= 1e-4)
 
 
+@pytest.mark.slow
 def test_certified_bound_extended_stream_newsvendor():
     """extra_scenarios mode: the SD cuts are excluded, the polish
     certifies v_{N+extra} from its own cuts alone, and the bound must
@@ -210,6 +214,7 @@ def test_certified_bound_extended_stream_newsvendor():
         (ef["lb_per_rep"], out["lb_per_rep"])
 
 
+@pytest.mark.slow
 def test_certified_bound_fresh_stratified_newsvendor():
     """fresh_scenarios mode: certification over fresh Latin-hypercube
     streams. Stratified sample averages stay unbiased per x (the bound
@@ -229,6 +234,7 @@ def test_certified_bound_fresh_stratified_newsvendor():
     assert out["lb_half_width"] < 0.02
 
 
+@pytest.mark.slow
 def test_fresh_polish_hits_known_optima():
     """polish + fresh Latin-hypercube streams: the bundle converges
     exactly on small instances and stratification kills the SAA spread,
@@ -248,6 +254,7 @@ def test_fresh_polish_hits_known_optima():
     assert np.all(out["polish_gap_per_rep"] < 1e-3)
 
 
+@pytest.mark.slow
 def test_cut_refresh_keeps_bound_valid():
     """cut_refresh_every rebuilds live cuts at their generating points at
     full weight; the refreshed model must still under-estimate the SAA
@@ -287,6 +294,7 @@ def test_cut_refresh_replicated_path():
     assert np.all(np.isfinite(s.lower_estimates))
 
 
+@pytest.mark.slow
 def test_ef_chunked_matches_continuous():
     """solve_extensive_form_chunked: warm-started chains must converge
     like one continuous solve, and a chunk can never end worse than its
@@ -335,6 +343,7 @@ def test_t_lower_bound_rejected_replication_is_visible():
     assert not np.isnan(out["lb_cert"])
 
 
+@pytest.mark.slow
 def test_certified_bound_single_replication_warns():
     require_instance("lands")
     inst = load_instance("lands", dtype=jnp.float64)

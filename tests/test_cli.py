@@ -11,6 +11,7 @@ import contextlib
 import io
 
 import numpy as np
+import pytest
 
 from conftest import require_instance
 
@@ -24,6 +25,7 @@ def _run_cli(argv):
     return rc, buf.getvalue()
 
 
+@pytest.mark.slow
 def test_cli_solve_smoke():
     require_instance("lands")
     rc, out = _run_cli([
@@ -36,6 +38,7 @@ def test_cli_solve_smoke():
     assert abs(ub - 381.8533) < 10.0, out
 
 
+@pytest.mark.slow
 def test_cli_replications_certify():
     """--replications R --certify: the full certified-gap pipeline from
     the command line (compromise decision, EF dual certificates over
@@ -57,6 +60,7 @@ def test_cli_replications_certify():
     assert -0.01 < gap < 0.15, out
 
 
+@pytest.mark.slow
 def test_cli_cut_refresh_flag():
     require_instance("lands")
     rc, out = _run_cli([

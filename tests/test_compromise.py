@@ -1,6 +1,7 @@
 """Compromise decision across SD replications (sd/compromise.py)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from sqlp_tpu.config import PDHGConfig, QPConfig, SDConfig
@@ -18,6 +19,7 @@ _CFG = SDConfig(
 )
 
 
+@pytest.mark.slow
 def test_lands_compromise():
     require_instance("lands")
     inst = load_instance("lands", dtype=jnp.float64)
@@ -53,6 +55,7 @@ def test_lands_compromise():
     assert "projection_distance" in info
 
 
+@pytest.mark.slow
 def test_replications_batched_matches_sequential():
     """SDReplications (one vmapped device program) produces per-replication
     trajectories statistically equivalent to sequential SDSolver runs with
@@ -92,6 +95,7 @@ def test_replications_batched_matches_sequential():
     assert abs(cost - 381.8533333) < 3.0
 
 
+@pytest.mark.slow
 def test_replications_evaluate_retry_path():
     """SDReplications.evaluate with uncertifiable batch elements: the MC
     retry's dual warm start must read the REPLICATED state ([R]-shaped

@@ -28,6 +28,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_mesh_matches_single_process(tmp_path):
     require_instance("lands")
     port = _free_port()

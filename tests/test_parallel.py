@@ -52,6 +52,7 @@ _CFG = SDConfig(
 )
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     """Iterations on the 8-device mesh must match the unsharded run.
 
@@ -114,6 +115,7 @@ def test_sharded_step_matches_single_device():
     assert abs(f1 - f8) < 1.0, (f1, f8)
 
 
+@pytest.mark.slow
 def test_multi_epigraph_lands():
     """Two epigraphs at weight 0.5 each (own scenario streams + cut pools)
     still bracket the lands optimum: E[0.5 Q + 0.5 Q'] = E[Q]."""
@@ -135,6 +137,7 @@ def test_multi_epigraph_lands():
     assert abs(ub - 381.8533) < 6.0
 
 
+@pytest.mark.slow
 def test_weighted_epigraphs_unequal():
     """Unequal weights w=[0.7, 0.3] with per-epigraph lower bounds — the
     weighted generalization the reference documents (readme.md:5-7)."""
@@ -149,6 +152,7 @@ def test_weighted_epigraphs_unequal():
     assert abs(ub - 381.8533) < 6.0
 
 
+@pytest.mark.slow
 def test_dual_pool_sharded_matches_single_device():
     """With the dual-vertex pool ALSO sharded over the mesh (the north
     star's second scaling axis), the sharded trajectory still matches the
@@ -196,6 +200,7 @@ def test_dual_pool_sharded_matches_single_device():
     assert abs(int(jnp.sum(s1.cut_live)) - int(jnp.sum(s8.cut_live))) <= 1
 
 
+@pytest.mark.slow
 def test_mesh_2d_duals_by_scenarios():
     """2-D (duals x scenarios) mesh: each growth axis of the argmax
     matmul [D,R]x[R,S] on its own mesh dimension (SURVEY §5.7). The
@@ -247,6 +252,7 @@ def test_mesh_2d_duals_by_scenarios():
     assert abs(int(jnp.sum(s1.cut_live)) - int(jnp.sum(s2d.cut_live))) <= 1
 
 
+@pytest.mark.slow
 def test_mesh_2d_driver_end_to_end():
     """SDSolver(mesh_shape=(2,4)): 60 iterations + sharded MC evaluation
     land in the lands neighborhood."""

@@ -74,6 +74,7 @@ def _run_trajectory(n_iters: int = 30):
     return np.asarray(cand), s.x_incumbent
 
 
+@pytest.mark.slow
 def test_b1_oracle_trajectory_matches_golden(monkeypatch):
     require_instance("lands")
     monkeypatch.setattr(alg, "solve_batch", oracle_solve_batch)

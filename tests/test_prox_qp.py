@@ -188,6 +188,7 @@ def test_rho_warm_start_round_trip():
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_hard_stall_cap_bounds_iterations():
     """stall_hard_windows caps a solve that cannot (or only slowly can)
     reach tolerance, regardless of how far the error is from it: with the

@@ -188,6 +188,7 @@ def test_extensive_form_golden(inst):
     assert abs(float(x[0]) - EXACT_EF_X) <= 1e-3
 
 
+@pytest.mark.slow
 def test_sd_end_to_end(inst):
     """SD on newsprice: valid lb/ub sandwich around the exact optimum and
     an incumbent whose true cost is near-optimal."""

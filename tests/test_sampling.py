@@ -202,6 +202,7 @@ def test_importance_weights_unbiased(lands):
 # user-supplied scenarios + weights through the step
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_external_deltas_match_internal_trajectory(lands):
     """Feeding sd_step the exact deltas its internal sampler would draw
     reproduces the internal trajectory bitwise (same key handling)."""
@@ -241,6 +242,7 @@ def test_weighted_scenarios_bookkeeping(lands):
     assert int(s.state.n_stream[0]) == 2
 
 
+@pytest.mark.slow
 def test_importance_sampling_sd_run_converges(lands):
     """Lands driven by importance-sampled scenarios (flattened proposal,
     pmf-ratio weights) converges to the same neighborhood as plain SD —
@@ -265,6 +267,7 @@ def test_importance_sampling_sd_run_converges(lands):
     assert abs(ub - 381.85) < 6.0, ub
 
 
+@pytest.mark.slow
 def test_on_device_proposal_run(lands, tmp_path):
     """SDSolver(proposal=...): the whole importance-sampling loop runs
     inside the chunked device program (no per-iteration host work) and

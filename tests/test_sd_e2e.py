@@ -77,6 +77,7 @@ def test_determinism_same_seed():
     assert runs[0][2] == runs[1][2]
 
 
+@pytest.mark.slow
 def test_chunked_run_equivalence():
     """Chunk boundaries are invisible: run(30) in one call equals
     run(12)+run(18) bitwise. Exercises sd_run's dynamic trip count (a
@@ -98,6 +99,7 @@ def test_chunked_run_equivalence():
     assert [h["it"] for h in a2.history] == list(range(1, 31))
 
 
+@pytest.mark.slow
 def test_infeasible_x0_projected():
     """An infeasible start must be projected onto the first-stage polytope:
     the SD incumbent test ignores first-stage feasibility, so an infeasible

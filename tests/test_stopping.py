@@ -8,6 +8,7 @@ readme.md:5-9) through the user-facing SDSolver surface.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from sqlp_tpu.sd.stopping import GapRule, LowerBoundStabilization
@@ -39,6 +40,7 @@ def test_stabilization_resets_on_movement():
     assert not stab.update(6.0)       # jump breaks the window
 
 
+@pytest.mark.slow
 def test_driver_multi_epigraph_lands():
     """n_epi=2 splits the scenario stream over two weight-1/2 epigraphs and
     still converges to the lands optimum region."""

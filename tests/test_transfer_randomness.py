@@ -159,6 +159,7 @@ def test_extensive_form_analytic_optimum():
     assert np.asarray(x) == pytest.approx([3.0, 10.0 / 3.0], abs=5e-3)
 
 
+@pytest.mark.slow
 def test_sd_converges_on_transfer_randomness():
     inst = _farmer()
     cfg = SDConfig(

@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from sqlp_tpu.config import PDHGConfig, QPConfig, SDConfig
@@ -28,6 +29,7 @@ def _solver():
     return SDSolver(inst, _CFG, x0=np.array([3.0, 3.0, 3.0, 3.0]), seed=5)
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_exact_trajectory(tmp_path):
     """10 iters -> checkpoint -> 10 more must equal 20 straight iters
     bitwise (checkpoint restores the PRNG key; SURVEY.md §5.4)."""
@@ -62,6 +64,7 @@ def test_checkpoint_shape_mismatch_rejected(tmp_path):
         assert "shape" in str(e)
 
 
+@pytest.mark.slow
 def test_checkpoint_missing_scalar_field_defaults(tmp_path):
     """A checkpoint written before SDState grew a scalar field (e.g.
     master_rho) must still load: the scalar defaults from the template
@@ -101,6 +104,7 @@ def test_checkpoint_missing_scalar_field_defaults(tmp_path):
         assert "x_candidate" in str(e)
 
 
+@pytest.mark.slow
 def test_checkpoint_pre_weighted_stream_loads(tmp_path):
     """A checkpoint from before weighted streams (no n_stream array) must
     restore n_stream = total_weight exactly — every earlier run used unit
@@ -145,6 +149,7 @@ def test_metrics_jsonl_sink(tmp_path):
     assert "wall_s" in lines[0]
 
 
+@pytest.mark.slow
 def test_checkpoint_legacy_replicated_cut_x(tmp_path):
     """Pre-round-4 REPLICATED checkpoints (no cut_x field, [R, E, K] cut
     arrays) must load with per-replication incumbent defaults — the shim
