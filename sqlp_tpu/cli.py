@@ -194,6 +194,33 @@ def _solve_replicated(args, config, inst, espec, x0) -> int:
     # all R replications advance together in one batched device program
     s = SDReplications(inst, config, n_replications=R, espec=espec, x0=x0,
                        seed=args.seed, n_epi=args.epigraphs)
+    if args.target_gap:
+        # certified-gap-aware stopping: SD runs in rounds, certifies
+        # periodically (free model route first, escalating to the
+        # configured route), stops at the target certified gap
+        # (sd/driver.py:solve_to_certified_gap; beyond the reference's
+        # open stopping-criteria TODO, readme.md:18)
+        import json
+        method = args.certify_method if args.certify else \
+            ("polish" if inst.n1 <= 32 else "ef")
+        # fresh stratified certification streams tighten BOTH escalated
+        # routes (smaller SAA bias + cross-replication spread)
+        kw = ({"fresh_scenarios": args.certify_scenarios}
+              if method in ("ef", "polish") else {})
+        res = s.solve_to_certified_gap(
+            args.target_gap, args.iters,
+            certify_every=args.certify_every, method=method,
+            compromise_rho=args.compromise_rho,
+            max_ub_samples=max(args.eval_samples, 65536),
+            seed=args.seed + 7000, verbose=True, **kw)
+        x_comp = res.pop("x_compromise")
+        print(f"{'stopped at' if res['stopped'] else 'exhausted'} "
+              f"{res['iters']} iters in {time.time() - t0:.1f}s "
+              f"(certified gap {res['cert_gap']:.5f}, "
+              f"target {args.target_gap:g})", file=sys.stderr)
+        print(f"x_compromise={np.round(x_comp, 6).tolist()}")
+        print(json.dumps(res))
+        return 0
     s.run(args.iters)
     for r in range(R):
         ub = s.evaluate(x=s.x_incumbents[r], n_samples=args.eval_samples,
@@ -221,7 +248,7 @@ def _solve_replicated(args, config, inst, espec, x0) -> int:
         # (sd/lower_bound.py; a VALID bound, unlike the lb_est proxy)
         t0 = time.time()
         kw = ({"fresh_scenarios": args.certify_scenarios}
-              if args.certify_method == "ef" else {})
+              if args.certify_method in ("ef", "polish") else {})
         cert = s.certified_lower_bound(method=args.certify_method, **kw)
         lo = cert["lb_mean"] - cert["lb_half_width"]
         hi = ub_comp + ub_hw
@@ -395,6 +422,18 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--compromise-rho", type=float, default=1.0,
                     help="prox weight toward the incumbent average in the "
                          "compromise problem")
+    ps.add_argument("--target-gap", type=float, default=0.0,
+                    help="with --replications > 1: run SD in rounds, "
+                         "certify a statistical lower bound periodically "
+                         "(free cut-model route first, escalating to "
+                         "--certify-method when it misses) and STOP once "
+                         "the certified optimality gap crosses this "
+                         "target; prints time-to-certified-gap. Unlike "
+                         "--stop-gap this stops on a VALID bound, not "
+                         "the lb_est proxy")
+    ps.add_argument("--certify-every", type=int, default=0,
+                    help="certification cadence (iterations) for "
+                         "--target-gap; 0 = four rounds across --iters")
     ps.add_argument("--stop-gap", type=float, default=0.0,
                     help="stop when (mc_ub - lb_est) relative gap falls "
                          "below this (needs --eval-every)")

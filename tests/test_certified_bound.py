@@ -353,3 +353,32 @@ def test_certified_bound_single_replication_warns():
         out = s.certified_lower_bound()
     assert out["lb_cert"] == -np.inf
     assert np.isfinite(out["lb_mean"])
+
+
+@pytest.mark.slow
+def test_solve_to_certified_gap_stops_early():
+    """Certified-gap-aware stopping (beyond the reference's open
+    stopping-criteria TODO, readme.md:18): on newsvendor the polish
+    route + fresh stratified streams certify essentially the exact
+    optimum, so the loop must stop at the FIRST certification round —
+    well before max_iters — and report a valid bracket around the known
+    optimum 1.0 with a time-to-certified-gap."""
+    require_instance("newsvendor")
+    inst = load_instance("newsvendor", dtype=jnp.float64)
+    cfg = _CFG.replace(max_scenarios=256)
+    s = SDReplications(inst, cfg, n_replications=3, seed=5)
+    out = s.solve_to_certified_gap(
+        0.2, max_iters=400, certify_every=80, method="polish",
+        min_ub_samples=2048, max_ub_samples=2048,
+        polish_rounds=16, fresh_scenarios=512)
+    assert out["stopped"], out
+    assert out["iters"] == 80                      # first round crossed
+    assert len(out["rounds"]) == 1
+    assert out["cert_gap"] <= 0.2
+    assert out["time_to_certified_gap_s"] is not None
+    # bracket validity around the exact optimum 1.0
+    assert out["lb_cert"] <= 1.0 + 1e-3
+    ub_hi = out["compromise_mc_ub"] + out["compromise_mc_ub_half_width"]
+    assert ub_hi >= 1.0 - 1e-3
+    # the escalation must only fire when the free route misses
+    assert out["route"] in ("model", "polish")
