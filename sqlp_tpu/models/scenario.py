@@ -288,7 +288,8 @@ def _uniform_panel(key: jax.Array, batch: int, R: int, dt,
 
 
 def sample_values(key: jax.Array, model: ScenarioModel, batch: int,
-                  method: str = "iid") -> jax.Array:
+                  method: str = "iid", complement: bool = False
+                  ) -> jax.Array:
     """Draw a [batch, R] panel of raw scenario values.
 
     Discrete positions use inverse-CDF lookup on the padded table; normal
@@ -298,6 +299,14 @@ def sample_values(key: jax.Array, model: ScenarioModel, batch: int,
     original RNG stream — pinned trajectories depend on it), while the
     variance-reduction methods push the structured uniforms through the
     normal inverse CDF so the scheme carries through every marginal type.
+
+    ``complement=True`` returns the ANTITHETIC complement of the panel
+    the same (key, method) would draw: u -> 1-u, z -> -z. Two calls with
+    the same key and opposite ``complement`` give a negatively-coupled
+    pair of identically-distributed panels — the cross-replication
+    pairing the certified-bound machinery uses to shrink the Student-t
+    spread (a complemented stratified/LHS panel is itself a valid
+    stratified/LHS panel, so per-panel variance reduction is preserved).
     """
     k_u, k_z = jax.random.split(key)
     R = model.n_rv
@@ -306,10 +315,16 @@ def sample_values(key: jax.Array, model: ScenarioModel, batch: int,
     if method == "iid" or batch <= 1:
         u = jax.random.uniform(k_u, (batch, R), dtype=dt)
         z = jax.random.normal(k_z, (batch, R), dtype=dt)
+        if complement:
+            u = 1.0 - u
+            z = -z
     else:
         from jax.scipy.special import ndtri
         u = _uniform_panel(k_u, batch, R, dt, method)
         u_z = _uniform_panel(k_z, batch, R, dt, method)
+        if complement:
+            u = 1.0 - u
+            u_z = 1.0 - u_z
         # clamp away exact 0/1 (ndtri(0/1) = -+inf); stratified/antithetic
         # panels can land arbitrarily close to the endpoints
         tiny = jnp.asarray(1e-7, dt)
@@ -331,13 +346,15 @@ def sample_values(key: jax.Array, model: ScenarioModel, batch: int,
 
 
 def sample_deltas(key: jax.Array, model: ScenarioModel, batch: int,
-                  method: str = "iid") -> jax.Array:
+                  method: str = "iid", complement: bool = False
+                  ) -> jax.Array:
     """Draw a [batch, R] panel of deltas vs the template (value - base).
 
     This is the device analog of ``delta_coefficients``
     (src/sd_algorithm/subprob.jl:104-121) fused with sampling.
     """
-    return sample_values(key, model, batch, method=method) - model.base
+    return sample_values(key, model, batch, method=method,
+                         complement=complement) - model.base
 
 
 def values_to_deltas(model: ScenarioModel, values: jax.Array) -> jax.Array:

@@ -361,6 +361,125 @@ class SDSolver:
                           gap_tol=gap_tol, extra_scenarios=extra_scenarios,
                           seed=seed)
 
+    def select_decision(self, candidates: Dict, n_samples: int = 16384,
+                        seed: int = 31000, batch: int = 8192) -> Dict:
+        """Pick the cheapest first-stage decision among ``candidates``
+        ({name: x}) on a SHARED stratified selection panel (common
+        random numbers: every candidate sees the same scenarios, so
+        cost differences are estimated at far lower variance than the
+        costs themselves). Each candidate is first projected onto the
+        first-stage polytope (epsilon-infeasible iterates — ADMM
+        compromise solutions, EF argmins — make recourse LPs
+        infeasible otherwise).
+
+        Selection bias: the winner's selection-panel estimate is
+        optimistically biased (min over noisy estimates) — re-evaluate
+        the returned decision on an INDEPENDENT panel (different seed)
+        for the reported upper bound.
+
+        Returns {"name", "x", "table": {name: (mean, half_width,
+        projection_distance)}}.
+        """
+        from sqlp_tpu.models.routines import project_first_stage
+
+        table = {}
+        best = None
+        for name, x in candidates.items():
+            xp, moved = project_first_stage(self.inst.arrays,
+                                            np.asarray(x, np.float64))
+            mean, hw, _ = self.evaluate_ci(
+                x=xp, min_samples=n_samples, max_samples=n_samples,
+                seed=seed, batch=batch, sampling="stratified")
+            table[name] = (mean, hw, float(moved))
+            if best is None or mean < best[2]:
+                best = (name, xp, mean)
+        return {"name": best[0], "x": best[1], "table": table}
+
+    def sharpen_duals_host(self, k: int = 32, x=None) -> Dict:
+        """Host-exact dual sharpening: re-solve the pool's top-``k``
+        argmax-winning vertices' home scenarios with HiGHS and push the
+        exact basic duals (true simplex vertices) into the pool.
+
+        The reference gets basic dual vertices for free from CPLEX/GLPK
+        (smps_routines.jl:58-61); our pool holds valid_tol-feasible
+        first-order duals, and on degenerate instances (storm) the
+        batched active-set crossover cannot vertex-ify them (measured
+        0/96 accepted even in f64 — RESULTS.md r4). This is the second
+        mechanism: instead of rounding approximate duals, periodically
+        solve EXACTLY the scenarios whose argmax winners carry the most
+        win mass (``duals_score`` EMA) and inject the exact optimal
+        duals. Any dual-feasible vector is a valid pool entry, so cut
+        validity is untouched; the SASA argmax can only improve.
+
+        Returns diagnostics: ``n_solved``, ``n_new`` (pool entries the
+        dedup accepted), ``mean_slack``/``max_slack`` — the measured
+        optimality slack of the pool's argmax value on the re-solved
+        scenarios (scaled objective units), i.e. how much cut value the
+        first-order duals were leaving on the table there.
+        """
+        from sqlp_tpu.models.routines import solve_lp_host
+        from sqlp_tpu.sd.dual_pool import push_duals
+
+        assert self.mesh is None, "host sharpening is a single-device path"
+        assert not self.inst.scenario_model.has_cost, \
+            "random-cost pools carry per-scenario admissibility; " \
+            "host sharpening is not defined there"
+        state = self.state
+        nd = int(state.n_duals)
+        if nd == 0:
+            return {"n_solved": 0, "n_new": 0, "mean_slack": 0.0,
+                    "max_slack": 0.0}
+        duals = np.asarray(state.duals, np.float64)[:nd]
+        score = np.asarray(state.duals_score, np.float64)[:nd]
+        x = np.asarray(self.x_incumbent if x is None else x, np.float64)
+
+        # stored certification scenarios across all epigraphs -> RHS panel
+        n_scen = np.asarray(state.n_scen)
+        deltas = np.asarray(state.scen_deltas, np.float64)
+        H = np.concatenate([
+            np.asarray(_scenario_rhs(
+                self.arrays_local, self.inst.scenario_model,
+                jnp.asarray(deltas[e, :int(n_scen[e])]),
+                jnp.asarray(x, self.config.jdtype)), np.float64)
+            for e in range(deltas.shape[0]) if int(n_scen[e]) > 0])
+        if H.shape[0] == 0:
+            return {"n_solved": 0, "n_new": 0, "mean_slack": 0.0,
+                    "max_slack": 0.0}
+        winners = np.argsort(score)[::-1][:min(k, nd)]
+        # each winner's home scenario: where it scores highest
+        home = np.unique(np.argmax(duals[winners] @ H.T, axis=1))
+        a = self.arrays_local
+        q = np.asarray(a.q, np.float64)
+        W = np.asarray(a.W, np.float64)
+        s2 = np.asarray(a.senses2)
+        lb = np.asarray(a.lb2, np.float64)
+        ub = np.asarray(a.ub2, np.float64)
+        pis, slacks = [], []
+        val_pool = (duals @ H[home].T).max(axis=0)     # current argmax value
+        for j, s_idx in enumerate(home):
+            try:
+                obj, _, pi = solve_lp_host(q, W, H[s_idx], s2, lb, ub)
+            except RuntimeError:
+                continue                      # infeasible at this x: skip
+            pis.append(pi)
+            slacks.append(obj - val_pool[j])
+        if not pis:
+            return {"n_solved": 0, "n_new": 0, "mean_slack": 0.0,
+                    "max_slack": 0.0}
+        n_before = nd
+        out = push_duals(
+            state.duals, state.duals_rounded, state.n_duals,
+            jnp.asarray(np.stack(pis), self.config.jdtype),
+            state.duals_dropped, sig_bits=self.config.dual_sig_bits,
+            score=state.duals_score)
+        self.state = dataclasses.replace(
+            state, duals=out[0], duals_rounded=out[1], n_duals=out[2],
+            duals_dropped=out[3], duals_score=out[4])
+        return {"n_solved": len(pis),
+                "n_new": int(out[2]) - n_before,
+                "mean_slack": float(np.mean(slacks)),
+                "max_slack": float(np.max(slacks))}
+
     def _warmstart_pool(self) -> Optional[np.ndarray]:
         """Live dual-vertex pool [n_duals, m2] (f64, host) for MC-retry
         warm starts, or None when empty. Overridden by SDReplications,
@@ -612,16 +731,27 @@ class SDSolver:
         but reporting its sampling error.
 
         ``sampling`` in {"iid", "antithetic", "stratified"}: variance-
-        reduced draws per device batch (reference TODO 7). The reported
-        half-width keeps the i.i.d. variance estimator, which is
-        CONSERVATIVE under either scheme (antithetic pairs are negatively
-        correlated and strata cover the marginals, so the true estimator
-        variance is at most the i.i.d. one) — the mean tightens, the CI
-        never understates.
+        reduced draws per device batch (reference TODO 7). Under a
+        variance-reduced scheme the CI half-width is computed from the
+        BATCH MEANS once at least 8 equal-size batches have completed:
+        each device batch is an independent identically-distributed
+        variance-reduced panel (fresh PRNG key per batch), so its mean
+        is one i.i.d. observation and the Student-t interval over batch
+        means is exactly valid — and it CAPTURES the variance reduction
+        the per-element i.i.d. estimator must ignore (measured on ssn
+        stratified panels: ~1.9x tighter at equal samples, i.e. ~3.5x
+        fewer samples to a target width). With fewer than 8 batches (or
+        a ragged final batch, or ``sampling="iid"``) the per-element
+        estimator is used; it is CONSERVATIVE under either scheme
+        (antithetic pairs are negatively correlated and strata cover
+        the marginals, so the true estimator variance is at most the
+        i.i.d. one) — the CI never understates.
 
         Returns (mean, half_width, n_samples).
         """
         import math
+
+        import scipy.stats
 
         inst = self.inst
         x = jnp.asarray(self.x_incumbent if x is None else x,
@@ -632,6 +762,32 @@ class SDSolver:
         n = 0
         mean = 0.0
         m2 = 0.0
+        batch_means: List[float] = []    # full-size batches only
+
+        def half_width() -> float:
+            # batch-mean path: valid t-interval that sees the variance
+            # reduction; needs iid batch means (equal sizes — ragged
+            # final batches contribute to the mean but not the spread,
+            # which only makes the width estimate conservative) and
+            # enough of them for a stable spread estimate
+            if sampling != "iid" and len(batch_means) >= 8:
+                B = len(batch_means)
+                t = float(scipy.stats.t.ppf(0.5 * (1.0 + confidence),
+                                            B - 1))
+                hw = t * float(np.std(batch_means, ddof=1)) \
+                    / math.sqrt(B)
+            else:
+                hw = z * math.sqrt(m2 / max(n - 1, 1) / max(n, 1))
+            # the CI covers SAMPLING error only; each element is
+            # certified to valid_tol relative, so per-element solver
+            # bias up to that scale sits outside it. Floor the width
+            # there — binding only when variance reduction drives the
+            # sampling error to ~0 (fully stratified small discrete
+            # supports), where an unfloored CI would claim near-exact
+            # coverage the f32 solves cannot back.
+            return max(hw,
+                       self.config.pdhg.valid_tol * (1.0 + abs(mean)))
+
         while True:
             stop_at = min_samples if not target_half_width else max_samples
             b = min(batch, stop_at - n)
@@ -652,11 +808,12 @@ class SDSolver:
             mean += delta * bn / tot
             m2 += bm2 + delta * delta * n * bn / tot
             n = tot
+            if bn == batch:
+                batch_means.append(bm)
             if target_half_width and n >= min_samples:
-                hw = z * math.sqrt(m2 / max(n - 1, 1) / n)
-                if hw <= target_half_width:
+                if half_width() <= target_half_width:
                     break
-        hw = z * math.sqrt(m2 / max(n - 1, 1) / n)
+        hw = half_width()
         first = float(jnp.dot(self.arrays_local.c, x))
         s_ = self.obj_scale
         return (first + mean) * s_, hw * s_, n
@@ -786,6 +943,7 @@ class SDReplications(SDSolver):
                               polish_rounds: int = 24,
                               gap_tol: float = 1e-4,
                               extra_scenarios: int = 0,
+                              antithetic_reps: bool = False,
                               seed: int = 9000, **kw) -> Dict:
         """Replication-based Student-t confidence lower bound on the TRUE
         optimum: each replication yields a deterministic bound on its own
@@ -809,20 +967,53 @@ class SDReplications(SDSolver):
         from sqlp_tpu.sd.lower_bound import (certified_lower_bound,
                                              saa_ef_bound, saa_polish,
                                              t_lower_bound)
+        if antithetic_reps:
+            # pairing is a property of FRESH certification streams
+            # (replication 2k+1 certifies on the complement of 2k's);
+            # the SD runs themselves stay independent
+            assert kw.get("fresh_scenarios", 0) > 0, \
+                "antithetic_reps requires fresh_scenarios > 0"
+            assert method != "model", \
+                "the model route certifies the SD streams themselves"
+            kw["fresh_pairing"] = "antithetic"
         if method == "model" or (method == "polish" and polish_rounds <= 0):
             return certified_lower_bound(
                 self.arrays, self.espec, self.states,
                 obj_scale=self.obj_scale, confidence=confidence)
-        if method == "ef":
+        if method in ("ef", "ef_polish"):
+            if method == "ef_polish":
+                # bundle cuts over the SAME certification streams (same
+                # seed => _certification_streams regenerates identical
+                # panels) patch the single aggregate EF cut's slope dip:
+                # the EF cut anchors the bound near v_N at its argmin,
+                # the bundle cuts hold the model up elsewhere
+                pol = saa_polish(
+                    self.arrays, self.scenario_model, self.espec,
+                    self.prep_sub, self.states, self.config,
+                    obj_scale=self.obj_scale, max_rounds=polish_rounds,
+                    gap_tol=gap_tol, extra_scenarios=extra_scenarios,
+                    seed=seed,
+                    **{k: v for k, v in kw.items()
+                       if k in ("fresh_scenarios", "fresh_sampling",
+                                "fresh_pairing", "level_lambda",
+                                "qp_rows_cap")})
+                kw = {k: v for k, v in kw.items()
+                      if k not in ("level_lambda", "qp_rows_cap")}
+                kw["extra_cuts"] = pol["cuts_per_rep"]
             ef = saa_ef_bound(self.arrays, self.scenario_model,
                               self.espec, self.states, self.config,
                               obj_scale=self.obj_scale,
                               extra_scenarios=extra_scenarios, seed=seed,
                               **kw)
-            out = t_lower_bound(ef["lb_per_rep"], confidence)
+            out = t_lower_bound(ef["lb_per_rep"], confidence,
+                                pair_means=antithetic_reps)
+            if method == "ef_polish":
+                out["polish_lb_per_rep"] = pol["lb_per_rep"]
+                out["polish_rounds"] = pol["rounds"]
             for k in ("ef_obj_per_rep", "ef_err_per_rep",
                       "dual_infeas_per_rep", "cut_correction_per_rep",
-                      "host_exact_count", "n_unrefined", "n_scenarios"):
+                      "host_exact_count", "n_unrefined", "n_scenarios",
+                      "x_ef_per_rep"):
                 out[k] = ef[k]
             return out
         assert method == "polish", method
@@ -832,7 +1023,8 @@ class SDReplications(SDSolver):
                          max_rounds=polish_rounds, gap_tol=gap_tol,
                          extra_scenarios=extra_scenarios, seed=seed,
                          **kw)
-        out = t_lower_bound(pol["lb_per_rep"], confidence)
+        out = t_lower_bound(pol["lb_per_rep"], confidence,
+                            pair_means=antithetic_reps)
         out["saa_ub_per_rep"] = pol["saa_ub_per_rep"]
         out["polish_rounds"] = pol["rounds"]
         out["polish_gap_per_rep"] = pol["gap_per_rep"]

@@ -210,7 +210,7 @@ def cut_model_min(arrays, espec, state, obj_scale: float = 1.0,
 
 def _certification_streams(states, scenario_model, R, E, N_sd,
                            extra_scenarios, fresh_scenarios, seed,
-                           fresh_sampling):
+                           fresh_sampling, fresh_pairing=None):
     """Build the per-replication certification streams and decide whether
     the SD run's own cuts may enter the BOUND model.
 
@@ -244,13 +244,34 @@ def _certification_streams(states, scenario_model, R, E, N_sd,
         assert extra_scenarios == 0, \
             "fresh_scenarios replaces the stream; extra_scenarios extends it"
         key = jax.random.PRNGKey(seed)
-        deltas_h = np.stack([
-            np.stack([
-                np.asarray(sample_deltas(
-                    jax.random.fold_in(key, r * E + e), scenario_model,
-                    fresh_scenarios, method=fresh_sampling), np.float64)
-                for e in range(E)])
-            for r in range(R)])
+        if fresh_pairing == "antithetic":
+            # cross-replication antithetic pairing: replication 2k+1
+            # certifies on the COMPLEMENT (u -> 1-u) of replication 2k's
+            # stream. Each stream is identically distributed (so every
+            # per-replication bound stays valid and E[pair mean] <= v*);
+            # negative coupling shrinks the PAIR-MEAN spread the
+            # Student-t aggregation sees. Aggregate over pair means —
+            # replications within a pair are not independent.
+            assert R % 2 == 0, \
+                "antithetic replication pairing needs an even R"
+            deltas_h = np.stack([
+                np.stack([
+                    np.asarray(sample_deltas(
+                        jax.random.fold_in(key, (r // 2) * E + e),
+                        scenario_model, fresh_scenarios,
+                        method=fresh_sampling,
+                        complement=bool(r % 2)), np.float64)
+                    for e in range(E)])
+                for r in range(R)])
+        else:
+            assert fresh_pairing is None, fresh_pairing
+            deltas_h = np.stack([
+                np.stack([
+                    np.asarray(sample_deltas(
+                        jax.random.fold_in(key, r * E + e), scenario_model,
+                        fresh_scenarios, method=fresh_sampling), np.float64)
+                    for e in range(E)])
+                for r in range(R)])
         weights_h = np.ones(deltas_h.shape[:3])
         return deltas_h, weights_h, False
     deltas_h = np.stack([_np64(s.scen_deltas)[:, :N_sd] for s in states])
@@ -281,7 +302,8 @@ def saa_polish(arrays, scenario_model, espec, prep_sub, states: Sequence,
                gap_tol: float = 1e-4, extra_scenarios: int = 0,
                seed: int = 9000, level_lambda: float = 0.3,
                qp_rows_cap: int = 64, fresh_scenarios: int = 0,
-               fresh_sampling: str = "stratified") -> Dict:
+               fresh_sampling: str = "stratified",
+               fresh_pairing=None) -> Dict:
     """Level-bundle polish: drive each replication's certified lower bound
     toward its SAA optimum v_N.
 
@@ -380,7 +402,7 @@ def saa_polish(arrays, scenario_model, espec, prep_sub, states: Sequence,
 
     deltas_h, weights_h, include_state_cuts = _certification_streams(
         states, scenario_model, R, E, N_sd, extra_scenarios,
-        fresh_scenarios, seed, fresh_sampling)
+        fresh_scenarios, seed, fresh_sampling, fresh_pairing)
     N = deltas_h.shape[2]
     p_h = weights_h / np.maximum(
         weights_h.sum(axis=2, keepdims=True), 1e-30)   # [R, E, N]
@@ -680,6 +702,11 @@ def saa_polish(arrays, scenario_model, espec, prep_sub, states: Sequence,
         "saa_ub_per_rep": ub * obj_scale,
         "gap_per_rep": gap,
         "rounds": rounds,
+        # per-replication (e, alpha, beta) bundle cuts in SCALED
+        # objective units — valid for the same certification stream, so
+        # callers can merge them into saa_ef_bound's model via
+        # extra_cuts (same seed => identical streams by construction)
+        "cuts_per_rep": cuts,
         # worst residual relative dual infeasibility of any cut's duals
         # AFTER the feasibility projection (the exact corrections for it
         # are already folded into the cut alphas)
@@ -821,6 +848,85 @@ def _refine_recourse_duals(arrays, scenario_model, config, deltas_u,
     return pt_out, H_out, Ymax, 0
 
 
+def _resolve_recourse_duals(arrays, scenario_model, config, deltas_u,
+                            x_ef, Y_ef, pt, chunk: int = 4096):
+    """Warm-started f64 re-solve of the EF dual panel on device.
+
+    With x fixed at the EF argmin the extensive form decouples into
+    independent recourse LPs; re-solving each with the batched f64 PDHG
+    kernel WARM-STARTED at its EF dual (and second-stage block) yields
+    duals that are BOTH feasible (no f32 floor) and per-scenario
+    optimal at x_ef — so the aggregate cut's value at x_ef equals the
+    decoupled objective there, unlike the minimal-movement feasibility
+    projection (:func:`_feasproj_run`), whose movement costs cut value
+    wherever it lands. From a near-optimal warm start the solve
+    converges in few rounds and tends to stay on the same optimal
+    face, limiting the degeneracy slope-drift that made COLD
+    independent re-solves lose bound tightness (measured, module
+    history). Returns (pt [R,EN,m2] np.f64, H [R,EN,m2], Ymax [n2],
+    n_unconverged).
+    """
+    import dataclasses as _dcl
+
+    import jax
+    import jax.numpy as jnp
+
+    from sqlp_tpu.models.scenario import cost_panel
+    from sqlp_tpu.ops.pdhg import prepare_lp, solve_batch
+    from sqlp_tpu.sd.algorithm import _scenario_rhs
+
+    def to64(tree):
+        return jax.tree.map(
+            lambda a: a.astype(jnp.float64)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a, tree)
+
+    arrays64 = to64(arrays)
+    model64 = to64(scenario_model)
+    prep64 = prepare_lp(arrays64.W, arrays64.senses2, arrays64.q,
+                        arrays64.lb2, arrays64.ub2,
+                        ruiz_iters=config.pdhg.ruiz_iters)
+    # capped budget, like the MC evaluator's f64 rung: emulated-f64
+    # iterations are ~10x slower and a warm start needs few of them;
+    # Pallas is f32-only so the XLA path is taken automatically
+    cfg64 = _dcl.replace(config.pdhg,
+                         max_iters=min(config.pdhg.max_iters, 20_000))
+    R, EN, m2 = pt.shape
+    pt_out = np.empty((R, EN, m2), np.float64)
+    H_out = np.empty((R, EN, m2), np.float64)
+    Ymax = np.zeros(arrays64.W.shape[1], np.float64)
+    n_unconv = 0
+    bucket = min(chunk, 1 << (EN - 1).bit_length())
+    for r in range(R):
+        d64 = jnp.asarray(np.asarray(deltas_u[r], np.float64))
+        H_r = _scenario_rhs(arrays64, model64, d64,
+                            jnp.asarray(np.asarray(x_ef[r], np.float64)))
+        H_out[r] = np.asarray(H_r, np.float64)
+        Q_r = (cost_panel(model64, d64, arrays64.q)
+               if scenario_model.has_cost else None)
+        for lo in range(0, EN, bucket):
+            hi = min(lo + bucket, EN)
+            pad = bucket - (hi - lo)
+            idx = np.arange(lo, hi)
+            if pad:
+                idx = np.pad(idx, (0, pad), mode="edge")
+            Hb = H_r[idx]
+            Yb = jnp.asarray(np.asarray(Y_ef, np.float64)[r][idx])
+            Lb = jnp.asarray(np.asarray(pt, np.float64)[r][idx])
+            Qb = None if Q_r is None else Q_r[idx]
+            obj, Y, Pi, stats = solve_batch(prep64, Hb, cfg64,
+                                            Y0=Yb, L0=Lb, Q=Qb)
+            ok = np.asarray(stats["pdhg_valid"])[:hi - lo]
+            Pi_h = np.asarray(Pi, np.float64)[:hi - lo]
+            # an unconverged element keeps its refined iterate — the
+            # corrections cover whatever feasibility epsilon remains
+            pt_out[r, lo:hi] = Pi_h
+            n_unconv += int((~ok).sum())
+            Ymax = np.maximum(
+                Ymax, np.abs(np.asarray(Y, np.float64)[:hi - lo]).max(0))
+    return pt_out, H_out, Ymax, n_unconv
+
+
 def _lagrangian_corrections(arrays, scenario_model, deltas_re, pt_re,
                             Ymax, qn):
     """Exact weak-duality correction terms for epsilon-feasible duals.
@@ -875,8 +981,10 @@ def saa_ef_bound(arrays, scenario_model, espec, states: Sequence,
                  refine_iters: int = 4000,
                  fresh_scenarios: int = 0,
                  fresh_sampling: str = "stratified",
+                 fresh_pairing=None,
                  ef_chunk_iters: int = 16_384,
                  refine_duals: bool = True,
+                 refine_mode: str = "project",
                  refine_duals_tol: float = 1e-7,
                  host_exact_cap: int = 1024) -> Dict:
     """SAA lower bound from extensive-form dual certificates.
@@ -933,7 +1041,7 @@ def saa_ef_bound(arrays, scenario_model, espec, states: Sequence,
 
     deltas_h, weights_h, include_state_cuts = _certification_streams(
         states, scenario_model, R, E, N_sd, extra_scenarios,
-        fresh_scenarios, seed, fresh_sampling)
+        fresh_scenarios, seed, fresh_sampling, fresh_pairing)
     N = deltas_h.shape[2]
     p_h = weights_h / np.maximum(
         weights_h.sum(axis=2, keepdims=True), 1e-30)     # [R, E, N]
@@ -948,7 +1056,20 @@ def saa_ef_bound(arrays, scenario_model, espec, states: Sequence,
         "replications disagree on scenario weights"
 
     if ef_config is None:
-        ef_config = config.pdhg
+        # The aggregate cut's model minimum equals v_N only when the EF
+        # duals carry the JOINT KKT slope structure; at the production
+        # subproblem tolerance (1e-4) the slopes are noisy enough that
+        # the cut's minimum dips ~0.45 below v_N on ssn, while one more
+        # decade of EF convergence restores it to within 0.01-0.05
+        # (RESULTS.md r5 A/B). The chunked driver bounds per-program
+        # length, so the larger iteration ceiling is tunnel-safe.
+        import dataclasses as _dcl
+        if config.pdhg.tol > 1e-5:
+            ef_config = _dcl.replace(config.pdhg, tol=1e-5,
+                                     max_iters=max(config.pdhg.max_iters,
+                                                   400_000))
+        else:
+            ef_config = config.pdhg
     if refine_f64 is None:
         # default: refine everywhere EXCEPT the TPU backend. Emulated-f64
         # EF programs kill the axon TPU worker even when chained in
@@ -1006,12 +1127,26 @@ def saa_ef_bound(arrays, scenario_model, espec, states: Sequence,
         1e-30)
 
     qn = float(1.0 + np.max(np.abs(_np64(arrays.q))))
-    if refine_duals:
+    if refine_duals and refine_mode == "resolve":
+        # warm-started f64 per-scenario re-solve. MEASURED NEGATIVE on
+        # ssn (RESULTS.md r5): per-scenario re-optimization — however
+        # warm-started — lands on different optimal vertices of the
+        # degenerate recourse, and the aggregate cut built from them
+        # loses the EF duals' joint slope structure entirely (model
+        # minima crash to the epigraph floor). Kept as an option for
+        # instances with non-degenerate recourse; the default is the
+        # minimal-movement projection, which preserves tightness once
+        # the EF is solved to the tighter default tolerance above.
+        pt_h, H_h, Ymax, n_unrefined = _resolve_recourse_duals(
+            arrays, scenario_model, config, deltas_u, x_ef, Y_ef, pt)
+    elif refine_duals:
         pt_h, H_h, Ymax, n_unrefined = _refine_recourse_duals(
             arrays, scenario_model, config, deltas_u, x_ef, Y_ef, pt,
             tol=refine_duals_tol)
     else:
-        pt_h = np.asarray(pt, np.float64)
+        # np.array (copy): asarray returns a READ-ONLY zero-copy view of
+        # the device buffer and the host-exact repair writes into pt_h
+        pt_h = np.array(pt, np.float64)
         from sqlp_tpu.sd.algorithm import _scenario_rhs as _srhs
         H_h = np.stack([
             np.asarray(_srhs(arrays, scenario_model, deltas_u[r],
@@ -1035,7 +1170,14 @@ def saa_ef_bound(arrays, scenario_model, espec, states: Sequence,
         corr_r, relv = _lagrangian_corrections(
             arrays, scenario_model, np.asarray(deltas_u[r], np.float64),
             pt_h[r], Ymax, qn)
-        fix = np.flatnonzero(relv > 1e-5)
+        # 1e-3, not smaller: a cold host re-solve returns a DIFFERENT
+        # optimal vertex on degenerate recourse, and swapping even ~1/3
+        # of a panel's duals for exact-but-unrelated vertices destroys
+        # the aggregate cut's joint slope structure (measured on ssn:
+        # model minima crashed from ~9.4 to the epigraph floor). Repair
+        # only gross offenders; mild epsilon goes through the exact
+        # corrections instead.
+        fix = np.flatnonzero(relv > 1e-3)
         if fix.size > host_exact_cap:
             warnings.warn(
                 f"replication {r}: {fix.size} certification scenarios "
@@ -1117,6 +1259,12 @@ def saa_ef_bound(arrays, scenario_model, espec, states: Sequence,
         lb = np.where(cert_bad, -np.inf, lb)
     return {
         "lb_per_rep": lb * obj_scale,
+        # the EF argmin decisions are free byproducts and typically
+        # BETTER first-stage candidates than the SD compromise (each
+        # minimizes a large fresh-stream SAA exactly, not a decayed cut
+        # model); callers may evaluate them on independent panels for
+        # the upper-bound side (x is never objective-scaled)
+        "x_ef_per_rep": np.asarray(x_ef, np.float64),
         "ef_obj_per_rep": np.asarray(obj_ef, np.float64) * obj_scale,
         "ef_err_per_rep": ef_err,
         "dual_infeas_per_rep": dual_infeas,
@@ -1131,12 +1279,23 @@ def saa_ef_bound(arrays, scenario_model, espec, states: Sequence,
     }
 
 
-def t_lower_bound(per_rep: np.ndarray, confidence: float = 0.95) -> Dict:
+def t_lower_bound(per_rep: np.ndarray, confidence: float = 0.95,
+                  pair_means: bool = False) -> Dict:
     """Student-t aggregation of i.i.d. per-replication bounds (module
-    docstring): mean - t_{R-1,conf} * std / sqrt(R)."""
+    docstring): mean - t_{R-1,conf} * std / sqrt(R).
+
+    ``pair_means=True``: consecutive replications are antithetic pairs
+    (``fresh_pairing="antithetic"`` certification streams) — members of
+    a pair are NOT independent, so the t-interval is taken over the R/2
+    i.i.d. pair means instead (each still satisfies E <= v*); the
+    negative within-pair coupling is exactly what shrinks their spread.
+    """
     import scipy.stats
 
     per_rep = np.asarray(per_rep, np.float64)
+    if pair_means:
+        assert per_rep.shape[0] % 2 == 0, "pairing needs an even R"
+        per_rep = 0.5 * (per_rep[0::2] + per_rep[1::2])
     R = per_rep.shape[0]
     if not np.all(np.isfinite(per_rep)):
         # rejected certificates arrive as -inf (saa_ef_bound); without this

@@ -382,3 +382,103 @@ def test_solve_to_certified_gap_stops_early():
     assert ub_hi >= 1.0 - 1e-3
     # the escalation must only fire when the free route misses
     assert out["route"] in ("model", "polish")
+
+
+@pytest.mark.slow
+def test_ef_refine_modes_all_valid_newsvendor():
+    """All three dual-repair modes (minimal-movement projection, raw +
+    exact corrections, warm f64 re-solve) must produce valid bounds; on
+    newsvendor's NON-degenerate recourse all three also stay tight at
+    the exact optimum 1.0. (On degenerate instances only the projection
+    preserves tightness — ssn measurements in RESULTS.md r5 — which is
+    why it is the default.)"""
+    require_instance("newsvendor")
+    from sqlp_tpu.sd.lower_bound import saa_ef_bound
+
+    inst = load_instance("newsvendor", dtype=jnp.float64)
+    cfg = _CFG.replace(max_scenarios=256)
+    s = SDReplications(inst, cfg, n_replications=2, seed=5)
+    s.run(60)
+    for kw in ({"refine_mode": "project"},
+               {"refine_duals": False, "host_exact_cap": 0},
+               {"refine_mode": "resolve"}):
+        out = saa_ef_bound(s.arrays, s.scenario_model, s.espec, s.states,
+                           s.config, obj_scale=s.obj_scale,
+                           fresh_scenarios=256, **kw)
+        assert np.all(out["lb_per_rep"] <= 1.0 + 1e-3), (kw, out)
+        assert np.all(out["lb_per_rep"] >= 1.0 - 0.05), (kw, out)
+        assert "x_ef_per_rep" in out
+        assert out["x_ef_per_rep"].shape == (2, inst.n1)
+
+
+@pytest.mark.slow
+def test_ef_polish_combo_route():
+    """method='ef_polish': bundle cuts over the SAME fresh streams merge
+    into the EF bound model (extra_cuts), so the combined bound can only
+    match or beat the bundle's own."""
+    require_instance("newsvendor")
+    inst = load_instance("newsvendor", dtype=jnp.float64)
+    cfg = _CFG.replace(max_scenarios=256)
+    s = SDReplications(inst, cfg, n_replications=2, seed=5)
+    s.run(60)
+    out = s.certified_lower_bound(method="ef_polish", polish_rounds=4,
+                                  fresh_scenarios=256)
+    assert np.all(out["lb_per_rep"] >= out["polish_lb_per_rep"] - 1e-6)
+    assert abs(out["lb_mean"] - 1.0) < 0.05
+
+
+def test_antithetic_complement_coupling():
+    """sample_deltas(complement=True) must return the exact antithetic
+    complement of the same key's panel: uniform marginals satisfy
+    v + v_c = 2*left + width, normal marginals v + v_c = 2*mean, and
+    both panels carry the target distribution (same mean up to
+    sampling error)."""
+    import jax
+    from sqlp_tpu.models.scenario import sample_values
+
+    require_instance("transship")
+    inst = load_instance("transship", dtype=jnp.float64)
+    sm = inst.scenario_model
+    key = jax.random.PRNGKey(3)
+    a = np.asarray(sample_values(key, sm, 512, method="stratified"),
+                   np.float64)
+    b = np.asarray(sample_values(key, sm, 512, method="stratified",
+                                 complement=True), np.float64)
+    from sqlp_tpu.models.scenario import DIST_NORMAL, DIST_UNIFORM
+    dist = np.asarray(sm.dist_type)
+    for k in range(sm.n_rv):
+        if dist[k] == DIST_UNIFORM:
+            lo = float(np.asarray(sm.left)[k])
+            w = float(np.asarray(sm.width)[k])
+            np.testing.assert_allclose(a[:, k] + b[:, k], 2 * lo + w,
+                                       rtol=1e-12)
+        elif dist[k] == DIST_NORMAL:
+            mu = float(np.asarray(sm.mean)[k])
+            np.testing.assert_allclose(a[:, k] + b[:, k], 2 * mu,
+                                       atol=1e-6 * (1 + abs(mu)))
+
+
+@pytest.mark.slow
+def test_antithetic_replication_pairing_bound():
+    """certified_lower_bound(antithetic_reps=True): replication 2k+1
+    certifies the complement stream of 2k; the t-interval aggregates
+    the R/2 pair means. On newsvendor the bound must still land on the
+    exact optimum; the streams must actually differ across the pair."""
+    require_instance("newsvendor")
+    from sqlp_tpu.sd.lower_bound import _certification_streams
+
+    inst = load_instance("newsvendor", dtype=jnp.float64)
+    cfg = _CFG.replace(max_scenarios=256)
+    s = SDReplications(inst, cfg, n_replications=4, seed=5)
+    s.run(60)
+    d, w, inc = _certification_streams(
+        s.states, s.scenario_model, 4, 1, 60, 0, 256, 9000,
+        "stratified", "antithetic")
+    assert not np.allclose(d[0], d[1])       # complement, not a copy
+    assert np.allclose(np.sort(d[0], axis=1), np.sort(d[1], axis=1)) or \
+        abs(d[0].mean() - d[1].mean()) < 0.5  # same marginal, coupled
+    out = s.certified_lower_bound(method="ef", fresh_scenarios=256,
+                                  antithetic_reps=True)
+    assert out["n_replications"] == 2        # pair means
+    assert abs(out["lb_mean"] - 1.0) < 0.05
+    assert out["lb_cert"] <= 1.0 + 1e-3

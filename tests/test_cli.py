@@ -70,3 +70,36 @@ def test_cli_cut_refresh_flag():
     assert rc == 0
     ub = float(out.split("mc_ub=")[1].split()[0])
     assert np.isfinite(ub)
+
+
+@pytest.mark.slow
+def test_cli_sharpen_flag():
+    """--sharpen-every injects host-exact duals at period boundaries and
+    the run completes with a sane bound."""
+    require_instance("lands")
+    rc, out = _run_cli([
+        "solve", "lands", "--iters", "80", "--sharpen-every", "40",
+        "--max-scenarios", "64", "--max-duals", "64", "--max-cuts", "16",
+        "--eval-samples", "500", "--seed", "2"])
+    assert rc == 0
+    assert "mc_ub=" in out
+
+
+@pytest.mark.slow
+def test_cli_target_gap():
+    """--target-gap stops on a certified gap and emits the JSON record
+    with time-to-certified-gap (certified-gap-aware stopping)."""
+    import json
+
+    require_instance("lands")
+    rc, out = _run_cli([
+        "solve", "lands", "--iters", "240", "--replications", "3",
+        "--target-gap", "0.1", "--certify-every", "120",
+        "--certify-scenarios", "512", "--eval-samples", "2000",
+        "--max-scenarios", "256", "--max-duals", "128",
+        "--max-cuts", "24", "--seed", "0"])
+    assert rc == 0
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert rec["cert_gap"] <= 0.1 and rec["stopped"]
+    assert rec["time_to_certified_gap_s"] is not None
+    assert rec["rounds"][0]["route"] in ("model", "polish")

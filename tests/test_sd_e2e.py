@@ -129,3 +129,89 @@ def test_feasible_x0_untouched():
     x0 = np.array([3.0, 3.0, 3.0, 3.0])
     s = SDSolver(inst, _CFG, x0=x0, seed=3)
     np.testing.assert_array_equal(s.x_incumbent, x0)
+
+
+def test_sharpen_duals_host_valid_and_usable():
+    """Host-exact dual sharpening (sd/driver.py:sharpen_duals_host):
+    injected duals must be exactly dual-feasible (they are HiGHS basic
+    optima — the reference's simplex-vertex semantics,
+    smps_routines.jl:58-61), the pool must stay dedup-consistent, and
+    the solver must keep running with a finite valid bound afterwards.
+    At f64 subproblem tolerance the measured argmax slack must be ~0
+    (tight pool duals): |slack| bounded by the pool's own feasibility
+    epsilon scale."""
+    require_instance("lands")
+    inst = load_instance("lands", dtype=jnp.float64)
+    s = SDSolver(inst, _CFG, x0=np.array([5.0, 5.0, 5.0, 5.0]), seed=11)
+    s.run(60)
+    out = s.sharpen_duals_host(k=8)
+    assert out["n_solved"] > 0
+    # slack can be slightly negative only by the pool duals' own
+    # eps-infeasible optimism (valid_tol-bounded); at tol 1e-8 it is ~0
+    assert out["max_slack"] > -1e-6
+    # every live pool dual must satisfy the infinite-direction dual
+    # feasibility the cut validity argument rests on
+    a = inst.arrays
+    q = np.asarray(a.q, np.float64)
+    W = np.asarray(a.W, np.float64)
+    nd = int(s.state.n_duals)
+    red = q[None, :] - np.asarray(s.state.duals, np.float64)[:nd] @ W
+    ub_inf = ~np.isfinite(np.asarray(a.ub2, np.float64))
+    lb_inf = ~np.isfinite(np.asarray(a.lb2, np.float64))
+    viol = (np.where(ub_inf[None, :], np.maximum(-red, 0.0), 0.0)
+            + np.where(lb_inf[None, :], np.maximum(red, 0.0), 0.0))
+    assert viol.max() < 1e-5
+    # rounded copy stays consistent with the pool (dedup invariant)
+    from sqlp_tpu.sd.dual_pool import round_sig_bits
+    np.testing.assert_array_equal(
+        np.asarray(s.state.duals_rounded)[:nd],
+        np.asarray(round_sig_bits(s.state.duals,
+                                  _CFG.dual_sig_bits))[:nd])
+    s.run(30)
+    assert np.isfinite(s.cut_model_lower_bound())
+
+
+def test_evaluate_ci_batch_mean_estimator():
+    """Stratified evaluate_ci reports its CI from iid batch means once
+    >= 8 full batches completed: the width must (a) capture the
+    stratification gain (tighter than the per-element iid estimator on
+    the same panel) and (b) still cover the exact value. newsvendor's
+    recourse at fixed x is exactly computable over its 3-outcome
+    support."""
+    require_instance("newsvendor")
+    from sqlp_tpu.models.routines import solve_lp_host
+
+    inst = load_instance("newsvendor", dtype=jnp.float64)
+    s = SDSolver(inst, _CFG.replace(max_scenarios=128), seed=0)
+    x = np.array([6.0])
+    # exact E[cost at x] over the discrete support
+    sm = inst.scenario_model
+    a = inst.arrays
+    vals = np.asarray(sm.values[0], np.float64)
+    cdf = np.asarray(sm.cdf[0], np.float64)
+    probs = np.diff(cdf, prepend=0.0)
+    live = probs > 1e-12
+    exact = float(np.dot(a.c, x))
+    from sqlp_tpu.sd.algorithm import _scenario_rhs
+    for v, p in zip(vals[live], probs[live]):
+        d = v - float(np.asarray(sm.base)[0])
+        H = np.asarray(_scenario_rhs(
+            a, sm, jnp.asarray([[d]], jnp.float64), jnp.asarray(x)),
+            np.float64)
+        obj, _, _ = solve_lp_host(
+            np.asarray(a.q, np.float64), np.asarray(a.W, np.float64),
+            H[0], np.asarray(a.senses2), np.asarray(a.lb2, np.float64),
+            np.asarray(a.ub2, np.float64))
+        exact += p * obj
+    m_s, hw_s, n_s = s.evaluate_ci(x=x, min_samples=4096,
+                                   max_samples=4096, batch=256,
+                                   seed=3, sampling="stratified")
+    m_i, hw_i, n_i = s.evaluate_ci(x=x, min_samples=4096,
+                                   max_samples=4096, batch=256,
+                                   seed=3, sampling="iid")
+    assert n_s == n_i == 4096
+    # the batch-mean CI must see the stratification gain
+    assert hw_s < 0.7 * hw_i, (hw_s, hw_i)
+    # and still cover the exact value (95% CI; fixed seed)
+    assert abs(m_s - exact) <= hw_s * 1.5, (m_s, exact, hw_s)
+    assert abs(m_i - exact) <= hw_i * 1.5, (m_i, exact, hw_i)
