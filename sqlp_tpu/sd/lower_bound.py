@@ -210,7 +210,8 @@ def cut_model_min(arrays, espec, state, obj_scale: float = 1.0,
 
 def _certification_streams(states, scenario_model, R, E, N_sd,
                            extra_scenarios, fresh_scenarios, seed,
-                           fresh_sampling, fresh_pairing=None):
+                           fresh_sampling, fresh_pairing=None,
+                           r_offset=0):
     """Build the per-replication certification streams and decide whether
     the SD run's own cuts may enter the BOUND model.
 
@@ -254,13 +255,15 @@ def _certification_streams(states, scenario_model, R, E, N_sd,
             # replications within a pair are not independent.
             assert R % 2 == 0, \
                 "antithetic replication pairing needs an even R"
+            assert r_offset % 2 == 0, "group splits must preserve pairs"
             deltas_h = np.stack([
                 np.stack([
                     np.asarray(sample_deltas(
-                        jax.random.fold_in(key, (r // 2) * E + e),
+                        jax.random.fold_in(
+                            key, ((r_offset + r) // 2) * E + e),
                         scenario_model, fresh_scenarios,
                         method=fresh_sampling,
-                        complement=bool(r % 2)), np.float64)
+                        complement=bool((r_offset + r) % 2)), np.float64)
                     for e in range(E)])
                 for r in range(R)])
         else:
@@ -268,7 +271,8 @@ def _certification_streams(states, scenario_model, R, E, N_sd,
             deltas_h = np.stack([
                 np.stack([
                     np.asarray(sample_deltas(
-                        jax.random.fold_in(key, r * E + e), scenario_model,
+                        jax.random.fold_in(key, (r_offset + r) * E + e),
+                        scenario_model,
                         fresh_scenarios, method=fresh_sampling), np.float64)
                     for e in range(E)])
                 for r in range(R)])
@@ -982,11 +986,13 @@ def saa_ef_bound(arrays, scenario_model, espec, states: Sequence,
                  fresh_scenarios: int = 0,
                  fresh_sampling: str = "stratified",
                  fresh_pairing=None,
-                 ef_chunk_iters: int = 16_384,
+                 ef_chunk_iters: Optional[int] = None,
                  refine_duals: bool = True,
                  refine_mode: str = "project",
                  refine_duals_tol: float = 1e-7,
-                 host_exact_cap: int = 1024) -> Dict:
+                 host_exact_cap: int = 1024,
+                 vmap_group: int = 8,
+                 _r_offset: int = 0) -> Dict:
     """SAA lower bound from extensive-form dual certificates.
 
     For each replication, solve the sample-average EXTENSIVE FORM over
@@ -1007,21 +1013,27 @@ def saa_ef_bound(arrays, scenario_model, espec, states: Sequence,
     are then excluded from the bound model). ``extra_cuts`` (per-rep
     lists of (e, alpha, beta)) lets callers merge polish cuts in.
 
-    Validity (three layers, ADVICE r4 medium):
-      1. ``refine_duals`` (default): with x fixed at the EF argmin the
-         extensive form decouples into independent recourse LPs, so the
-         f32 EF duals are re-solved by the batched f64 PDHG kernel
-         (works on the TPU backend, unlike the f64 EF program) —
-         residual reduced-cost violations drop from ~1e-2 to ~1e-7
-         relative. Any dual-feasible pi is a valid cut coefficient for
-         all x, so the swap preserves validity.
-      2. scenarios still violating above 1e-5 relative after refinement
-         are re-solved EXACTLY on the host (HiGHS f64; budget
-         ``host_exact_cap`` per replication).
+    Validity (three layers, ADVICE r4 medium; recipe re-measured r5):
+      1. ``refine_duals`` (default, ``refine_mode="project"``): walk the
+         EF duals to the feasible set by the minimal-movement projection
+         (:func:`_refine_recourse_duals`) — on tol-1e-5 EF duals the
+         movement is on the ~1e-4 violation scale, residual violations
+         drop to ~1e-11 relative, and the cut loses only ~0.005 of
+         tightness (RESULTS.md r5 table: every alternative — cold host
+         repair, warm f64 per-scenario re-solve — destroys the EF
+         duals' joint slope structure on degenerate recourse and
+         crashes the bound). Any dual-feasible pi is a valid cut
+         coefficient for all x, so the movement preserves validity.
+      2. scenarios still violating above 1e-3 relative are re-solved
+         EXACTLY on the host (HiGHS f64; budget ``host_exact_cap`` per
+         replication) — a gross-failure backstop only: at normal
+         scales a cold exact vertex HARMS the cut (point 1), so the
+         threshold is deliberately loose.
       3. the remaining measured epsilon is DEDUCTED from each aggregate
          cut via the exact weak-duality correction
          (:func:`_lagrangian_corrections`) — reported as
-         ``cut_correction_per_rep``.
+         ``cut_correction_per_rep``; exactly 0 after a healthy
+         projection.
 
     Returns: lb_per_rep, ef_obj_per_rep, ef_err_per_rep,
     dual_infeas_per_rep, cut_correction_per_rep, host_exact_count,
@@ -1034,6 +1046,45 @@ def saa_ef_bound(arrays, scenario_model, espec, states: Sequence,
     from sqlp_tpu.models.scenario import sample_deltas
 
     R = len(states)
+    if R > vmap_group:
+        # the remote XLA compiler wedges on wide R-vmapped EF programs
+        # (observed at R=16 on ssn flagship sizes — the same failure
+        # class as the r4 replicated-refresh wedge); split into groups
+        # of <= vmap_group replications. Stream keys are indexed by the
+        # GLOBAL replication index (r_offset), so the split is
+        # bit-transparent: same streams, same bounds, merged outputs.
+        assert _r_offset == 0
+        g = vmap_group
+        if fresh_pairing == "antithetic" and g % 2:
+            g -= 1                               # keep pairs together
+        outs = []
+        for lo in range(0, R, g):
+            outs.append(saa_ef_bound(
+                arrays, scenario_model, espec, states[lo:lo + g], config,
+                obj_scale=obj_scale, extra_scenarios=extra_scenarios,
+                seed=seed, ef_config=ef_config,
+                extra_cuts=None if extra_cuts is None
+                else extra_cuts[lo:lo + g],
+                refine_f64=refine_f64, refine_tol=refine_tol,
+                refine_iters=refine_iters,
+                fresh_scenarios=fresh_scenarios,
+                fresh_sampling=fresh_sampling,
+                fresh_pairing=fresh_pairing,
+                ef_chunk_iters=ef_chunk_iters,
+                refine_duals=refine_duals, refine_mode=refine_mode,
+                refine_duals_tol=refine_duals_tol,
+                host_exact_cap=host_exact_cap, vmap_group=vmap_group,
+                _r_offset=lo))
+        merged = {}
+        for k in outs[0]:
+            if k == "n_scenarios":
+                merged[k] = outs[0][k]
+            elif k in ("host_exact_count", "n_unrefined"):
+                merged[k] = sum(o[k] for o in outs)
+            else:
+                merged[k] = np.concatenate([np.asarray(o[k])
+                                            for o in outs])
+        return merged
     E = int(np.asarray(states[0].cut_alpha).shape[0])
     n_scen = np.asarray(states[0].n_scen)
     N_sd = int(n_scen.max())
@@ -1041,7 +1092,8 @@ def saa_ef_bound(arrays, scenario_model, espec, states: Sequence,
 
     deltas_h, weights_h, include_state_cuts = _certification_streams(
         states, scenario_model, R, E, N_sd, extra_scenarios,
-        fresh_scenarios, seed, fresh_sampling, fresh_pairing)
+        fresh_scenarios, seed, fresh_sampling, fresh_pairing,
+        r_offset=_r_offset)
     N = deltas_h.shape[2]
     p_h = weights_h / np.maximum(
         weights_h.sum(axis=2, keepdims=True), 1e-30)     # [R, E, N]
@@ -1079,6 +1131,14 @@ def saa_ef_bound(arrays, scenario_model, espec, states: Sequence,
         # feasibility residuals are measured and reported instead
         # (dual_infeas_per_rep).
         refine_f64 = jax.default_backend() != "tpu"
+    if ef_chunk_iters is None:
+        # per-chunk device time scales with the vmapped block count;
+        # single programs past ~2 minutes kill the tunneled TPU worker.
+        # Budget relative to the proven (R=8 x 24k-block, 16384-iter)
+        # program, clamped to a useful range.
+        blocks = R * E * N
+        ef_chunk_iters = int(min(16_384, max(
+            2048, 16_384 * (4 * 3000) // max(blocks, 1))))
     # chunked host loop: long single XLA programs kill the tunneled TPU
     # worker (models/crash.py:solve_extensive_form_chunked)
     from sqlp_tpu.models.crash import solve_extensive_form_chunked

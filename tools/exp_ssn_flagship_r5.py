@@ -33,20 +33,26 @@ def main():
     p.add_argument("--chunk", type=int, default=8192)
     p.add_argument("--ub-hw", type=float, default=0.045)
     p.add_argument("--checkpoint", default="/tmp/ssn_r16_state.npz")
+    p.add_argument("--resume", action="store_true")
     args = p.parse_args()
 
     cfg = SDConfig(quad_schedule="adaptive", quad_scalar_init=1e-3,
                    pdhg=PDHGConfig(tol=1e-4, max_iters=80_000))
     inst = load_instance("ssn", dtype=cfg.jdtype)
 
-    t0 = time.time()
     s = SDReplications(inst, cfg, n_replications=args.reps, seed=0)
-    s.run(args.iters)
-    print(json.dumps({"phase": "sd", "reps": args.reps,
-                      "iters": args.iters,
-                      "wall_s": round(time.time() - t0, 1)}), flush=True)
-    if args.checkpoint:
-        save_state(args.checkpoint, s.state, instance=inst.name)
+    if args.resume:
+        from sqlp_tpu.utils.checkpoint import load_state
+        s.state = load_state(args.checkpoint, template=s.state)
+    else:
+        t0 = time.time()
+        s.run(args.iters)
+        print(json.dumps({"phase": "sd", "reps": args.reps,
+                          "iters": args.iters,
+                          "wall_s": round(time.time() - t0, 1)}),
+              flush=True)
+        if args.checkpoint:
+            save_state(args.checkpoint, s.state, instance=inst.name)
 
     t0 = time.time()
     cert = s.certified_lower_bound(method="ef",
